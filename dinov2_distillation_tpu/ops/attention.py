@@ -1,0 +1,172 @@
+"""Fused multi-head attention for short ViT sequences (Pallas TPU kernel).
+
+The teacher's hot op is 12-40 pre-norm MHSA blocks over ~257 tokens
+(224px / 14 patch -> 16x16 + CLS; reference delegates this to torch.hub's
+DINOv2 — SURVEY.md §2.3). At this sequence length the win on TPU is not
+streaming/tiling cleverness but *fusion and VMEM residency*: one kernel per
+(batch, head) keeps Q, K, V, the fp32 score matrix and the softmax entirely
+in VMEM, runs both matmuls on the MXU, and never round-trips the (N, N)
+attention matrix through HBM.
+
+Numerics: scores and softmax in fp32 (matching torch's fp32 softmax under
+AMP), probabilities cast to bf16 for the P@V matmul with fp32 accumulation.
+
+Falls back to a pure-XLA implementation off-TPU (CPU tests, interpreters) and
+for sequence lengths where the single-block strategy would bust VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+_MAX_SINGLE_BLOCK_N = 1024  # fp32 score matrix: 1024^2*4B = 4 MB of VMEM
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, nk: int, scale: float):
+    """Single-block fused attention for one (batch*head) slice.
+
+    q_ref: (1, Nq_pad, Dh), k_ref/v_ref: (1, Nk_pad, Dh), o_ref: (1, Nq_pad, Dh).
+    ``nk`` is the real (unpadded) key count — static, so the padding mask is a
+    compile-time constant.
+    """
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+
+    scores = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    scores = scores * scale
+
+    nk_pad = k.shape[0]
+    if nk_pad != nk:
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
+        scores = jnp.where(col < nk, scores, -jnp.inf)
+
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+
+    out = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _xla_attention(q, k, v, scale: float):
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    p = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v).astype(q.dtype)
+
+
+def _pallas_attention(q, k, v, scale: float):
+    b, h, nq, dh = q.shape
+    nk = k.shape[2]
+    nq_pad = _round_up(nq, _LANE)
+    nk_pad = _round_up(nk, _LANE)
+    dh_pad = _round_up(dh, _LANE)
+
+    qf = q.reshape(b * h, nq, dh)
+    kf = k.reshape(b * h, nk, dh)
+    vf = v.reshape(b * h, nk, dh)
+    if (nq_pad, dh_pad) != (nq, dh):
+        qf = jnp.pad(qf, ((0, 0), (0, nq_pad - nq), (0, dh_pad - dh)))
+    if (nk_pad, dh_pad) != (nk, dh):
+        kf = jnp.pad(kf, ((0, 0), (0, nk_pad - nk), (0, dh_pad - dh)))
+        vf = jnp.pad(vf, ((0, 0), (0, nk_pad - nk), (0, dh_pad - dh)))
+
+    kernel = functools.partial(_attn_kernel, nk=nk, scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * h,),
+        in_specs=[
+            pl.BlockSpec((1, nq_pad, dh_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk_pad, dh_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk_pad, dh_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nq_pad, dh_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, nq_pad, dh_pad), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * (nq_pad * nk_pad * dh_pad * 2),
+            bytes_accessed=(b * h) * (nq_pad + 2 * nk_pad + nq_pad) * dh_pad * q.dtype.itemsize,
+            transcendentals=b * h * nq_pad * nk_pad,
+        ),
+    )(qf, kf, vf)
+    return out[:, :nq, :dh].reshape(b, h, nq, dh)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _attention_core(q, k, v, scale: float, use_pallas: bool):
+    if use_pallas:
+        return _pallas_attention(q, k, v, scale)
+    return _xla_attention(q, k, v, scale)
+
+
+def _attention_fwd(q, k, v, scale: float, use_pallas: bool):
+    return _attention_core(q, k, v, scale, use_pallas), (q, k, v)
+
+
+def _attention_bwd(scale: float, use_pallas: bool, res, g):
+    """Recompute-based backward: the fp32 (N, N) probability matrix is never
+    materialized in HBM on the forward pass (the Pallas kernel keeps it in
+    VMEM), so the backward rebuilds it once — standard softmax-attention
+    gradients, fused by XLA onto the MXU."""
+    q, k, v = res
+    g = g.astype(jnp.float32)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, g)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", g, v.astype(jnp.float32))
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32)) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32)) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_attention_core.defvjp(_attention_fwd, _attention_bwd)
+
+
+def fused_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    *,
+    use_pallas: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Scaled-dot-product attention over (B, H, N, Dh) tensors.
+
+    ``scale`` defaults to ``Dh**-0.5``; pass an explicit value to fold extra
+    factors in (e.g. the ScaleKD projector's ``softmax_scale`` —
+    reference ``losses/scalekd.py:308``). Differentiable via a custom VJP
+    (fused Pallas forward; recompute backward).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+    nq, nk = q.shape[2], k.shape[2]
+    if max(_round_up(nq, _LANE), _round_up(nk, _LANE)) > _MAX_SINGLE_BLOCK_N:
+        use_pallas = False
+    return _attention_core(q, k, v, float(scale), bool(use_pallas))

@@ -1,0 +1,151 @@
+"""Train state and the jitted train/eval steps.
+
+The reference delegates its step mechanics to Lightning (AMP backward,
+clip-norm, DDP allreduce — SURVEY.md §3.2); here the entire step — teacher
+forward, student forward, composite loss, grad, clip, optimizer update, BN
+stat update — is ONE jitted function over globally-sharded arrays. Gradient
+reduction across the ``data`` mesh axis is inserted by XLA (psum over ICI),
+not hand-written.
+
+Input batches are uint8 images + random-erase rects; ImageNet normalization
+and the erase (with value 0 in normalized space, matching torchvision
+``RandomErasing(value=0)`` applied after Normalize —
+reference ``datasets/augmentations.py:44-67``) run on device, fused into the
+step, so the host->HBM transfer ships 1 byte/pixel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+TEACHER_KEY = "teacher"  # frozen subtree name in the model's param tree
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray                      # micro-step counter
+    params: Any                            # trainable: student + loss heads
+    teacher_params: Any                    # frozen
+    batch_stats: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+def split_params(all_params) -> Tuple[Any, Any]:
+    """Partition the full param tree into (trainable, teacher)."""
+    trainable = {k: v for k, v in all_params.items() if k != TEACHER_KEY}
+    return trainable, all_params[TEACHER_KEY]
+
+
+def merge_params(trainable, teacher_params):
+    return {**trainable, TEACHER_KEY: teacher_params}
+
+
+def preprocess_batch(batch: Dict[str, jnp.ndarray], dtype=jnp.bfloat16) -> jnp.ndarray:
+    """uint8 NHWC -> normalized, random-erased model input (on device)."""
+    x = batch["image"].astype(jnp.float32) / 255.0
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    x = (x - mean) / std
+    erase = batch.get("erase")
+    if erase is not None:
+        b, h, w, _ = x.shape
+        top, left = erase[:, 0], erase[:, 1]
+        eh, ew = erase[:, 2], erase[:, 3]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 2)
+        mask = (
+            (rows >= top[:, None, None]) & (rows < (top + eh)[:, None, None])
+            & (cols >= left[:, None, None]) & (cols < (left + ew)[:, None, None])
+        )
+        x = jnp.where(mask[..., None], 0.0, x)
+    return x.astype(dtype)
+
+
+def make_train_step(model, tx: optax.GradientTransformation):
+    """Build the jitted training step for a DistillationModel + optimizer."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        images = preprocess_batch(batch, dtype=model.dtype)
+        step_rng = jax.random.fold_in(state.rng, state.step)
+
+        def loss_fn(trainable):
+            variables = {
+                "params": merge_params(trainable, state.teacher_params),
+                "batch_stats": state.batch_stats,
+            }
+            (loss, metrics), mutated = model.apply(
+                variables, images, True,
+                mutable=["batch_stats"], rngs={"dropout": step_rng},
+            )
+            return loss, (metrics, mutated["batch_stats"])
+
+        (_, (metrics, new_batch_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+        )
+        metrics = {k: v.astype(jnp.float32) for k, v in metrics.items()}
+        metrics["grad_norm"] = optax.global_norm(grads).astype(jnp.float32)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model):
+    @jax.jit
+    def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        images = preprocess_batch(batch, dtype=model.dtype)
+        variables = {
+            "params": merge_params(state.params, state.teacher_params),
+            "batch_stats": state.batch_stats,
+        }
+        _, metrics = model.apply(variables, images, False)
+        return {k: v.astype(jnp.float32) for k, v in metrics.items()}
+
+    return eval_step
+
+
+def init_state(
+    model,
+    tx: optax.GradientTransformation,
+    sample_batch: Dict[str, jnp.ndarray],
+    seed: int = 0,
+) -> TrainState:
+    """Initialize parameters/optimizer for a model on a sample batch shape."""
+    rng = jax.random.PRNGKey(seed)
+    init_rng, state_rng = jax.random.split(rng)
+    images = preprocess_batch(
+        jax.tree_util.tree_map(jnp.asarray, sample_batch), dtype=model.dtype
+    )
+    variables = jax.jit(
+        functools.partial(model.init, train=False)
+    )({"params": init_rng, "dropout": init_rng}, images)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    trainable, teacher_params = split_params(params)
+    return TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=trainable,
+        teacher_params=teacher_params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(trainable),
+        rng=state_rng,
+    )
