@@ -73,7 +73,7 @@ def _xla_attention(q, k, v, scale: float):
     return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v).astype(q.dtype)
 
 
-def _pallas_attention(q, k, v, scale: float):
+def _pallas_attention(q, k, v, scale: float, interpret: bool = False):
     b, h, nq, dh = q.shape
     nk = k.shape[2]
     nq_pad = _round_up(nq, _LANE)
@@ -105,6 +105,7 @@ def _pallas_attention(q, k, v, scale: float):
             bytes_accessed=(b * h) * (nq_pad + 2 * nk_pad + nq_pad) * dh_pad * q.dtype.itemsize,
             transcendentals=b * h * nq_pad * nk_pad,
         ),
+        interpret=interpret,
     )(qf, kf, vf)
     return out[:, :nq, :dh].reshape(b, h, nq, dh)
 

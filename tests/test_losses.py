@@ -1,0 +1,129 @@
+"""ScaleKD loss arithmetic goldens and projector behavior."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dinov2_distillation_tpu.losses.scalekd import (
+    AttentionProjector,
+    ScaleKD,
+    frequency_loss_fn,
+    spatial_loss_fn,
+)
+
+
+def _np_normalize(x, axis):
+    n = np.sqrt((x * x).sum(axis=axis, keepdims=True))
+    return x / np.maximum(n, 1e-12)
+
+
+def test_spatial_loss_golden(rng):
+    """MSE(sum)/B * alpha over channel-normalized maps + mean cosine sim
+    (reference losses/scalekd.py:67-92)."""
+    b, h, w, d = 3, 4, 4, 8
+    alpha = 0.08
+    s_tokens = rng.standard_normal((b, h * w, d)).astype(np.float32)
+    t_map = rng.standard_normal((b, h, w, d)).astype(np.float32)
+
+    loss, sim = spatial_loss_fn(jnp.asarray(s_tokens), jnp.asarray(t_map), alpha)
+
+    s = _np_normalize(s_tokens.reshape(b, h, w, d), -1)
+    t = _np_normalize(t_map, -1)
+    want_loss = ((s - t) ** 2).sum() / b * alpha
+    want_sim = (s * t).sum(-1).mean()
+    np.testing.assert_allclose(float(loss), want_loss, rtol=1e-5)
+    np.testing.assert_allclose(float(sim), want_sim, rtol=1e-5)
+
+
+def test_frequency_loss_golden(rng):
+    """DC removal == spatial-mean subtraction, then normalized MSE
+    (reference losses/scalekd.py:95-127)."""
+    b, h, w, d = 2, 4, 4, 8
+    alpha = 0.06
+    s_tokens = rng.standard_normal((b, h * w, d)).astype(np.float32)
+    t_map = rng.standard_normal((b, h, w, d)).astype(np.float32)
+
+    loss, sim = frequency_loss_fn(jnp.asarray(s_tokens), jnp.asarray(t_map), alpha)
+
+    s = s_tokens.reshape(b, h, w, d)
+    s = s - s.mean(axis=(1, 2), keepdims=True)
+    t = t_map - t_map.mean(axis=(1, 2), keepdims=True)
+    s = _np_normalize(s, -1)
+    t = _np_normalize(t, -1)
+    want_loss = ((s - t) ** 2).sum() / b * alpha
+    want_sim = (s * t).sum(-1).mean()
+    np.testing.assert_allclose(float(loss), want_loss, rtol=1e-5)
+    np.testing.assert_allclose(float(sim), want_sim, rtol=1e-5)
+
+
+def test_identical_maps_give_zero_loss_unit_similarity(rng):
+    b, h, w, d = 2, 4, 4, 8
+    t_map = rng.standard_normal((b, h, w, d)).astype(np.float32)
+    tokens = t_map.reshape(b, h * w, d)
+    loss, sim = spatial_loss_fn(jnp.asarray(tokens), jnp.asarray(t_map), 1.0)
+    assert float(loss) < 1e-8
+    np.testing.assert_allclose(float(sim), 1.0, atol=1e-6)
+
+
+@pytest.fixture
+def projector_setup(rng):
+    proj = AttentionProjector(
+        student_dim=16, teacher_dim=32, hw=(4, 4), pos_dim=32,
+        self_query=True, softmax_scale=5.0, num_heads=4, dtype=jnp.float32,
+    )
+    x = jnp.asarray(rng.standard_normal((2, 4, 4, 16)).astype(np.float32))
+    variables = proj.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    return proj, variables, x
+
+
+def test_projector_output_shape(projector_setup):
+    proj, variables, x = projector_setup
+    out, mutated = proj.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert out.shape == (2, 16, 32)
+    # BN running stats must update in train mode
+    old = variables["batch_stats"]["proj_bn"]["mean"]
+    new = mutated["batch_stats"]["proj_bn"]["mean"]
+    assert not np.allclose(np.asarray(old), np.asarray(new))
+
+
+def test_projector_external_query_overrides_self_query(projector_setup, rng):
+    proj, variables, x = projector_setup
+    q1 = jnp.asarray(rng.standard_normal((2, 16, 32)).astype(np.float32))
+    out_a = proj.apply(variables, x, query=q1, train=False)
+    out_b = proj.apply(variables, x, train=False)
+    assert not np.allclose(np.asarray(out_a), np.asarray(out_b))
+
+
+def test_scalekd_composite_keys(rng):
+    head = ScaleKD(
+        student_dim=16, teacher_dim=32, query_hw=(4, 4), pos_dim=32,
+        alpha=(0.08, 0.06), self_query=True, softmax_scale=(5.0, 5.0),
+        num_heads=4, dtype=jnp.float32,
+    )
+    s = jnp.asarray(rng.standard_normal((2, 4, 4, 16)).astype(np.float32))
+    t = jnp.asarray(rng.standard_normal((2, 4, 4, 32)).astype(np.float32))
+    variables = head.init({"params": jax.random.PRNGKey(0)}, s, t, train=False)
+    out = head.apply(variables, s, t, train=False)
+    assert set(out) == {"spatial_loss", "frequency_loss", "spatial_similarity",
+                        "frequency_similarity", "loss"}
+    np.testing.assert_allclose(
+        float(out["loss"]), float(out["spatial_loss"] + out["frequency_loss"]), rtol=1e-6)
+
+
+def test_window_partition_changes_attention(rng):
+    """window_shapes=(2,2) must attend within 4 local windows, differing from
+    global attention (reference losses/scalekd.py:303-306, 327-335)."""
+    def make(ws):
+        return ScaleKD(
+            student_dim=16, teacher_dim=32, query_hw=(4, 4), pos_dim=32,
+            window_shapes=ws, self_query=True, softmax_scale=(5.0, 5.0),
+            num_heads=4, dtype=jnp.float32,
+        )
+    s = jnp.asarray(rng.standard_normal((2, 4, 4, 16)).astype(np.float32))
+    t = jnp.asarray(rng.standard_normal((2, 4, 4, 32)).astype(np.float32))
+    head_g, head_w = make((1, 1)), make((2, 2))
+    variables = head_g.init({"params": jax.random.PRNGKey(0)}, s, t, train=False)
+    out_g = head_g.apply(variables, s, t, train=False)
+    out_w = head_w.apply(variables, s, t, train=False)  # same params, windowed
+    assert not np.isclose(float(out_g["loss"]), float(out_w["loss"]))
