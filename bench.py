@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Benchmark: distillation step throughput on the flagship config.
+
+Measures images/sec/chip for the north-star workload — dinov2_vits14 ->
+stdc_2 with dual ScaleKD heads (res4 + res5), 224px crops — on real device
+steps (teacher fwd + student fwd/bwd + projector losses + AdamW update),
+batches prefed as device arrays so the number is the chip's, not the host
+pipeline's.
+
+Baseline (BASELINE.md): the reference's 2-GPU DDP run achieved ~635 img/s
+total => ~317.5 img/s per GPU (AMP fp16, batch 256/GPU).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": N/317.5}
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dinov2_distillation_tpu.config import load_config, derive_config, inject_student_dims
+from dinov2_distillation_tpu.models.vit import create_teacher
+from dinov2_distillation_tpu.models.zoo import create_student
+from dinov2_distillation_tpu.parallel.mesh import create_mesh, batch_sharding, replicated
+from dinov2_distillation_tpu.train.distill import DistillationModel, build_loss_specs
+from dinov2_distillation_tpu.train.optim import create_optimizer
+from dinov2_distillation_tpu.train.state import init_state, make_train_step
+
+BASELINE_IMG_PER_SEC_PER_CHIP = 635.0 / 2  # reference: 2x GPU DDP, run.ipynb
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="configs/config.yaml")
+    p.add_argument("--batch", type=int, default=None, help="per-chip batch (default from config)")
+    p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--warmup", type=int, default=5)
+    p.add_argument("--quick", action="store_true", help="small batch / few steps")
+    args = p.parse_args(argv)
+
+    cfg = derive_config(load_config(args.config))
+    if args.quick:
+        args.steps, args.warmup = 10, 3
+        per_chip = args.batch or 32
+    else:
+        per_chip = args.batch or int(cfg.data_loader.batch_size)
+
+    mesh = create_mesh()
+    n_chips = mesh.size
+    global_batch = per_chip * mesh.shape["data"]
+    h, w = cfg.data_transform.global_crops_size
+
+    teacher = create_teacher(cfg.teacher.model_name)
+    student, channels = create_student(
+        cfg.student.model_name, cfg.teacher.n_patches, list(cfg.student.student_keys))
+    inject_student_dims(cfg, channels)
+    model = DistillationModel(
+        teacher=teacher, student=student, loss_specs=build_loss_specs(cfg))
+    tx, _ = create_optimizer(cfg.optimizer.to_container(), updates_per_epoch=100)
+
+    rng = np.random.default_rng(0)
+    def make_batch(i):
+        return {
+            "image": rng.integers(0, 256, (global_batch, h, w, 3), dtype=np.uint8),
+            "erase": np.zeros((global_batch, 4), np.int32),
+        }
+
+    sharding = batch_sharding(mesh)
+    batches = [
+        jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), make_batch(i))
+        for i in range(2)
+    ]
+
+    state = init_state(model, tx, batches[0], seed=0)
+    state = jax.device_put(state, replicated(mesh))
+    step = make_train_step(model, tx)
+
+    for i in range(args.warmup):
+        state, metrics = step(state, batches[i % 2])
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        state, metrics = step(state, batches[i % 2])
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+
+    img_per_sec = args.steps * global_batch / dt
+    per_chip_rate = img_per_sec / n_chips
+    result = {
+        "metric": "distill images/sec/chip (vits14->stdc_2, dual scalekd)",
+        "value": round(per_chip_rate, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(per_chip_rate / BASELINE_IMG_PER_SEC_PER_CHIP, 3),
+        "detail": {
+            "chips": n_chips,
+            "per_chip_batch": per_chip,
+            "global_batch": global_batch,
+            "steps": args.steps,
+            "step_time_ms": round(1000 * dt / args.steps, 2),
+            "final_loss": float(metrics["loss"]),
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,280 @@
+"""Training orchestration: the TPU-native ``DistillationTrainer``.
+
+Counterpart of the reference's ``DistillationTrainer`` + Lightning ``Trainer``
+(``train.py:26-288``): builds transform -> loaders -> teacher+student ->
+DistillationModel -> optimizer -> jitted steps, then runs the epoch loop with
+validation, monitored checkpointing (top-k + last), resume, metric logging,
+and throughput meters. One process per TPU host; devices form a
+(data, model) mesh; batches are globally sharded over the data axis
+(replaces Lightning DDP/NCCL — SURVEY.md §2.6).
+
+Log-dir layout parity: ``logs/<student>/distillation/version_N/`` with
+``checkpoints/`` inside (reference ``train.py:243-254``).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections import defaultdict
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ConfigNode, derive_config, inject_student_dims
+from ..data.augment import DataAugmentationDINO
+from ..data.loader import build_loaders
+from ..models.vit import create_teacher
+from ..models.zoo import create_student
+from ..parallel.mesh import DATA_AXIS, create_mesh, replicated, shard_batch
+from ..utils.checkpoint import DistillCheckpointManager
+from ..utils.logger import get_logger
+from ..utils.metrics import MetricLogger, ThroughputMeter
+from .distill import DistillationModel, build_loss_specs
+from .optim import create_optimizer
+from .state import init_state, make_eval_step, make_train_step
+
+logger = get_logger()
+
+
+def _precision_dtype(cfg) -> Any:
+    prec = str(cfg.get("precision", 16))
+    if prec in ("32", "32-true", "fp32", "float32"):
+        return jnp.float32
+    # 16 / bf16 / 16-mixed all map to bfloat16 on TPU (reference AMP fp16)
+    return jnp.bfloat16
+
+
+def _next_version_dir(root: str) -> str:
+    os.makedirs(root, exist_ok=True)
+    existing = [d for d in os.listdir(root) if d.startswith("version_")]
+    nums = [int(d.split("_")[1]) for d in existing if d.split("_")[1].isdigit()]
+    return os.path.join(root, f"version_{max(nums) + 1 if nums else 0}")
+
+
+class DistillationTrainer:
+    def __init__(self, config: ConfigNode, *, log_root: Optional[str] = None):
+        logger.info("Starting DistillationTrainer initialization...")
+        self.cfg = derive_config(config)
+        cfg = self.cfg
+        self.dtype = _precision_dtype(cfg)
+
+        # --- mesh / distribution ------------------------------------------
+        self.mesh = create_mesh(model_parallel=int(cfg.train.get("model_parallel", 1)))
+        self.process_index = jax.process_index()
+        self.process_count = jax.process_count()
+        self.is_main = self.process_index == 0
+        n_data = self.mesh.shape[DATA_AXIS]
+        logger.info(f"Mesh: data={n_data} model={self.mesh.shape['model']} "
+                    f"({self.process_count} host(s))")
+
+        # --- data ----------------------------------------------------------
+        self.transform = DataAugmentationDINO(
+            global_crops_scale=tuple(cfg.data_transform.global_crops_scale),
+            global_crops_size=tuple(cfg.data_transform.global_crops_size),
+        )
+        # config batch_size is per-chip (reference: per-GPU, config.yaml:75)
+        per_chip = int(cfg.data_loader.batch_size)
+        self.global_batch = per_chip * n_data
+        per_host = self.global_batch // self.process_count
+        data_cfg = cfg.clone()
+        data_cfg.data_loader.batch_size = per_host
+        self.train_loader, self.val_loader = build_loaders(
+            data_cfg, self.transform,
+            process_index=self.process_index, process_count=self.process_count,
+        )
+        logger.info(f"Batches/epoch: train={len(self.train_loader)} "
+                    f"val={len(self.val_loader)} (global batch {self.global_batch})")
+
+        # --- models --------------------------------------------------------
+        self.teacher = create_teacher(cfg.teacher.model_name, dtype=self.dtype)
+        self.student, self.feature_channels = create_student(
+            cfg.student.model_name, cfg.teacher.n_patches,
+            list(cfg.student.student_keys), dtype=self.dtype,
+        )
+        inject_student_dims(cfg, self.feature_channels)
+        self.loss_specs = build_loss_specs(cfg)
+        self.model = DistillationModel(
+            teacher=self.teacher, student=self.student,
+            loss_specs=self.loss_specs, teacher_key=cfg.teacher.teacher_key,
+            dtype=self.dtype,
+        )
+
+        # --- optimizer -----------------------------------------------------
+        self.accum = int(cfg.train.get("accumulate_grad_batches", 1) or 1)
+        updates_per_epoch = max(1, len(self.train_loader) // self.accum)
+        self.tx, self.schedule = create_optimizer(
+            cfg.optimizer.to_container(), updates_per_epoch, self.accum,
+            clip_norm=1.0,  # Lightning gradient_clip_val=1.0 (train.py:267)
+        )
+
+        # --- logging / checkpointing --------------------------------------
+        root = log_root or os.path.join("logs", cfg.student.model_name, "distillation")
+        self.log_dir = _next_version_dir(root) if self.is_main else root
+        ckpt_cfg = cfg.get("checkpoints", ConfigNode())
+        self.monitor = ckpt_cfg.get("monitor", "val_scalekd_res5_spatial_similarity")
+        self.ckpt = DistillCheckpointManager(
+            os.path.join(self.log_dir, "checkpoints"),
+            monitor=self.monitor,
+            mode=ckpt_cfg.get("mode", "max"),
+            save_top_k=int(ckpt_cfg.get("save_top_k", 1)),
+        )
+        run_name = f"{cfg.student.model_name}_{cfg.teacher.model_name}"
+        self.metrics = MetricLogger(
+            self.log_dir, is_main_process=self.is_main,
+            wandb_cfg=cfg.get("wandb", None) and cfg.wandb.to_container(),
+            run_name=run_name, hparams=cfg.to_container(),
+        )
+        self.log_every = int(cfg.train.get("log_every_n_steps", 10))
+
+        # --- state / steps -------------------------------------------------
+        self.state = None
+        self.start_epoch = 0
+        self.train_step = make_train_step(self.model, self.tx)
+        self.eval_step = make_eval_step(self.model)
+        logger.info("DistillationTrainer initialized.")
+
+    # --- state construction ---------------------------------------------
+
+    def _sample_batch(self) -> Dict[str, np.ndarray]:
+        h, w = self.transform.global_crops_size
+        per_host = self.global_batch // self.process_count
+        return {
+            "image": np.zeros((per_host, h, w, 3), np.uint8),
+            "erase": np.zeros((per_host, 4), np.int32),
+        }
+
+    def setup_state(self) -> None:
+        if self.state is not None:
+            return
+        t0 = time.time()
+        state = init_state(self.model, self.tx, self._sample_batch(),
+                           seed=int(self.cfg.train.get("seed", 0)))
+        state = self._load_pretrained(state)
+        # replicate state over the mesh
+        self.state = jax.device_put(state, replicated(self.mesh))
+        logger.info(f"State initialized in {time.time() - t0:.1f}s "
+                    f"({_param_count(self.state.params):.1f}M trainable, "
+                    f"{_param_count(self.state.teacher_params):.1f}M teacher frozen)")
+
+    def _load_pretrained(self, state):
+        """Teacher weights + student init checkpoint (reference
+        ``_load_student_checkpoint`` distillation_module.py:381-438)."""
+        from ..utils import torch_import
+
+        tpath = self.cfg.teacher.get("checkpoint_path", None)
+        if tpath:
+            teacher_params = torch_import.load_dinov2_teacher(
+                tpath, state.teacher_params, self.cfg.teacher.model_name)
+            state = state.replace(teacher_params=teacher_params)
+        else:
+            logger.warning(
+                "No teacher.checkpoint_path given — teacher runs with random "
+                "weights (the reference pulled weights from torch.hub, which "
+                "requires network access).")
+
+        spath = self.cfg.student.get("checkpoint_path", None)
+        if spath:
+            student_params, student_stats = torch_import.load_student_checkpoint(
+                spath, self.cfg.student.model_name,
+                state.params["student"], state.batch_stats.get("student", {}))
+            new_params = dict(state.params)
+            new_params["student"] = student_params
+            new_stats = dict(state.batch_stats)
+            if student_stats is not None:
+                new_stats["student"] = student_stats
+            state = state.replace(params=new_params, batch_stats=new_stats)
+        return state
+
+    # --- resume -----------------------------------------------------------
+
+    def maybe_resume(self) -> None:
+        resume = self.cfg.train.get("resume_from_checkpoint", None)
+        if not resume:
+            return
+        self.setup_state()
+        path = resume if isinstance(resume, str) and resume not in ("auto", "last") \
+            else os.path.join(self.log_dir, "checkpoints")
+        mgr = self.ckpt if path == os.path.join(self.log_dir, "checkpoints") \
+            else DistillCheckpointManager(path, monitor=self.monitor)
+        restored = mgr.restore_last(self.state, {"epoch": 0})
+        if restored is None:
+            logger.warning(f"No checkpoint found to resume from at {path}")
+            return
+        step, state, extra = restored
+        self.state = jax.device_put(state, replicated(self.mesh))
+        self.start_epoch = int(extra.get("epoch", 0)) + 1
+        logger.info(f"Resumed at step {step}, starting epoch {self.start_epoch}")
+
+    # --- epoch loops --------------------------------------------------------
+
+    def _opt_step(self) -> int:
+        return int(self.state.step) // self.accum
+
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        self.train_loader.set_epoch(epoch)
+        meter = ThroughputMeter()
+        last: Dict[str, float] = {}
+        for i, batch in enumerate(self.train_loader):
+            global_batch = shard_batch(batch, self.mesh)
+            self.state, metrics = self.train_step(self.state, global_batch)
+            if (i + 1) % self.log_every == 0 or i == len(self.train_loader) - 1:
+                host = {f"train_{k}": float(v) for k, v in metrics.items()}
+                host["lr"] = float(self.schedule(self._opt_step()))
+                host["epoch"] = epoch
+                if meter.steps_measured > 0:
+                    host["images_per_sec"] = meter.images_per_sec
+                    host["images_per_sec_per_chip"] = (
+                        meter.images_per_sec / max(1, self.mesh.size))
+                self.metrics.log_scalars(int(self.state.step), host)
+                last = host
+            meter.tick(self.global_batch)
+        if meter.steps_measured > 0:
+            logger.info(
+                f"epoch {epoch}: {meter.images_per_sec:.1f} img/s "
+                f"({meter.images_per_sec / max(1, self.mesh.size):.1f}/chip), "
+                f"train_loss={last.get('train_loss', float('nan')):.4f}")
+        return last
+
+    def validate(self, epoch: int) -> Dict[str, float]:
+        self.val_loader.set_epoch(epoch)
+        sums: Dict[str, float] = defaultdict(float)
+        n = 0
+        for batch in self.val_loader:
+            global_batch = shard_batch(batch, self.mesh)
+            metrics = self.eval_step(self.state, global_batch)
+            for k, v in metrics.items():
+                sums[k] += float(v)
+            n += 1
+        if n == 0:
+            return {}
+        val = {f"val_{k}": v / n for k, v in sums.items()}
+        val["epoch"] = epoch
+        self.metrics.log_scalars(int(self.state.step), val)
+        logger.info(f"epoch {epoch} val: " + ", ".join(
+            f"{k}={v:.4f}" for k, v in sorted(val.items()) if k != "epoch"))
+        return val
+
+    def fit(self) -> Dict[str, float]:
+        self.maybe_resume()
+        self.setup_state()
+        max_epochs = int(self.cfg.train.max_epochs)
+        val_metrics: Dict[str, float] = {}
+        for epoch in range(self.start_epoch, max_epochs):
+            t0 = time.time()
+            self.train_epoch(epoch)
+            val_metrics = self.validate(epoch)
+            if val_metrics:
+                self.ckpt.save(int(self.state.step), self.state, val_metrics,
+                               extra={"epoch": epoch})
+            logger.info(f"epoch {epoch} done in {time.time() - t0:.1f}s")
+        self.ckpt.wait()
+        self.metrics.close()
+        logger.info("Training process finished.")
+        return val_metrics
+
+
+def _param_count(tree) -> float:
+    return sum(x.size for x in jax.tree_util.tree_leaves(tree)) / 1e6

@@ -1,0 +1,148 @@
+"""Anyma/detectron2 export: flax student subtree -> torch-convention keys.
+
+Reverse of the import translators in ``torch_import.py``: walks the trained
+student backbone (params + batch_stats) and emits ``backbone.*`` keys in the
+detectron2 naming that the reference's export produced
+(``scripts/convert_to_anyma.py:23-39`` kept torch layer names under a
+``backbone.`` prefix; loss/projector weights are excluded).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+from .logger import get_logger
+from .torch_import import _flatten
+
+logger = get_logger()
+
+_BN_INV = {"scale": "weight", "bias": "bias", "mean": "running_mean", "var": "running_var"}
+
+
+def _conv_back(w: np.ndarray) -> np.ndarray:
+    """HWIO -> OIHW."""
+    return w.transpose(3, 2, 0, 1) if w.ndim == 4 else w
+
+
+_INVERSE: Dict[str, Callable[[Tuple[str, ...], str], Optional[str]]] = {}
+
+
+def register_inverse(family: str):
+    def deco(fn):
+        _INVERSE[family] = fn
+        return fn
+    return deco
+
+
+@register_inverse("resnet")
+def _inv_resnet(path: Tuple[str, ...], collection: str) -> Optional[str]:
+    # ('stem','conv','kernel') -> stem.conv1.weight ; ('stem','bn',leaf) -> stem.conv1.norm.*
+    if path[0] == "stem":
+        if path[1] == "conv":
+            return "stem.conv1.weight"
+        if path[1] == "bn":
+            return f"stem.conv1.norm.{_BN_INV[path[2]]}"
+        return None
+    m = re.match(r"res(\d)_(\d+)", path[0])
+    if m:
+        stage, block = m.groups()
+        mod = path[1]  # conv1|conv2|conv3|shortcut
+        if path[2] == "conv":
+            return f"res{stage}.{block}.{mod}.weight"
+        if path[2] == "bn":
+            return f"res{stage}.{block}.{mod}.norm.{_BN_INV[path[3]]}"
+    return None
+
+
+@register_inverse("stdc")
+def _inv_stdc(path: Tuple[str, ...], collection: str) -> Optional[str]:
+    m = re.match(r"features_(\d+)", path[0])
+    if not m:
+        return None
+    feat = f"features.{m.group(1)}"
+    rest = path[1:]
+    if rest[0] == "conv":
+        return f"{feat}.conv.weight"
+    if rest[0] == "bn":
+        return f"{feat}.bn.{_BN_INV[rest[1]]}"
+    m2 = re.match(r"conv_(\d+)", rest[0])
+    if m2:
+        if rest[1] == "conv":
+            return f"{feat}.conv_list.{m2.group(1)}.conv.weight"
+        if rest[1] == "bn":
+            return f"{feat}.conv_list.{m2.group(1)}.bn.{_BN_INV[rest[2]]}"
+    if rest[0] == "avd_conv":
+        return f"{feat}.avd_layer.0.weight"
+    if rest[0] == "avd_bn":
+        return f"{feat}.avd_layer.1.{_BN_INV[rest[1]]}"
+    if rest[0] == "skip_dw":
+        return f"{feat}.skip.0.weight"
+    if rest[0] == "skip_dw_bn":
+        return f"{feat}.skip.1.{_BN_INV[rest[1]]}"
+    if rest[0] == "skip_pw":
+        return f"{feat}.skip.2.weight"
+    if rest[0] == "skip_pw_bn":
+        return f"{feat}.skip.3.{_BN_INV[rest[1]]}"
+    return None
+
+
+def flax_student_to_torch_keys(
+    family: str, params: Any, batch_stats: Any
+) -> Dict[str, np.ndarray]:
+    inv = _INVERSE.get(family)
+    if inv is None:
+        raise NotImplementedError(f"No export translator for family '{family}'")
+    out: Dict[str, np.ndarray] = {}
+    skipped = []
+    for collection, tree in (("params", params), ("batch_stats", batch_stats)):
+        if tree is None:
+            continue
+        for path, val in _flatten(tree).items():
+            # strip the wrapper's 'backbone' root
+            p = path[1:] if path and path[0] == "backbone" else path
+            key = inv(p, collection)
+            if key is None:
+                skipped.append("/".join(path))
+                continue
+            arr = np.asarray(val)
+            if key.endswith(".weight") and arr.ndim == 4:
+                arr = _conv_back(arr)
+            out[f"backbone.{key}"] = arr
+    if skipped:
+        logger.info(f"export: skipped {len(skipped)} non-exportable leaves "
+                    f"(first: {skipped[:5]})")
+    return out
+
+
+def restore_raw_checkpoint(checkpoint_dir: str, which: str = "best"):
+    """Restore an orbax checkpoint as a raw numpy pytree (no template)."""
+    import orbax.checkpoint as ocp
+
+    checkpoint_dir = os.path.abspath(checkpoint_dir)
+    sub = os.path.join(checkpoint_dir, which)
+    root = sub if os.path.isdir(sub) else checkpoint_dir
+    with ocp.CheckpointManager(root) as mgr:
+        step = mgr.best_step() if which == "best" else mgr.latest_step()
+        if step is None:
+            step = mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"No checkpoints under {root}")
+        return mgr.restore(step)
+
+
+def export_student_to_anyma(
+    checkpoint_dir: str, which: str = "best", family: Optional[str] = None
+) -> Dict[str, np.ndarray]:
+    restored = restore_raw_checkpoint(checkpoint_dir, which)
+    state = restored["state"] if "state" in restored else restored
+    params = state["params"]["student"]
+    stats = (state.get("batch_stats") or {}).get("student")
+    if family is None:
+        # infer family from the backbone tree shape
+        top = set(_p[1] for _p in (tuple(p)[0:2] for p in _flatten(params)))
+        family = "stdc" if any(t.startswith("features_") for t in top) else "resnet"
+    return flax_student_to_torch_keys(family, params, stats)

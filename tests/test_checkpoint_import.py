@@ -1,0 +1,164 @@
+"""Checkpoint machinery: orbax save/restore round-trip with monitor
+semantics, torch-layout import translators, and the anyma export inverse."""
+
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dinov2_distillation_tpu.utils.checkpoint import DistillCheckpointManager
+from dinov2_distillation_tpu.utils import torch_import
+from dinov2_distillation_tpu.utils.export import flax_student_to_torch_keys
+
+
+# --- orbax round trip --------------------------------------------------------
+
+def _tiny_state():
+    return {
+        "params": {"w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3)},
+        "step": jnp.asarray(5, jnp.int32),
+    }
+
+
+def test_checkpoint_roundtrip_and_monitor(tmp_path):
+    mgr = DistillCheckpointManager(
+        str(tmp_path / "ck"), monitor="val_sim", mode="max", save_top_k=1)
+    state = _tiny_state()
+    mgr.save(1, state, {"val_sim": 0.5})
+    mgr.save(2, {**state, "step": jnp.asarray(10, jnp.int32)}, {"val_sim": 0.9})
+    mgr.save(3, {**state, "step": jnp.asarray(15, jnp.int32)}, {"val_sim": 0.7})
+    mgr.wait()
+
+    assert mgr.best_step() == 2  # max val_sim
+
+    restored = mgr.restore_last(state)
+    assert restored is not None
+    step, rstate, _ = restored
+    assert step == 3
+    assert int(rstate["step"]) == 15
+
+    step, rstate, _ = mgr.restore_best(state)
+    assert step == 2 and int(rstate["step"]) == 10
+    np.testing.assert_array_equal(np.asarray(rstate["params"]["w"]),
+                                  np.asarray(state["params"]["w"]))
+    mgr.close()
+
+
+# --- torch import ------------------------------------------------------------
+
+def _build_stdc_template():
+    from dinov2_distillation_tpu.models.backbones.stdc import build
+
+    net, _ = build("stdc_1", dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = jax.jit(lambda: net.init(jax.random.PRNGKey(0), x, False))()
+    return variables["params"], variables["batch_stats"]
+
+
+def _fake_torch_stdc_state(params, stats):
+    """Manufacture a torch-convention STDC state dict (detectron2 pkl shape
+    conventions) from our flax template via the export inverse — then verify
+    the import translator maps it back onto the exact same tree."""
+    wrapped_p = {"backbone": params}
+    wrapped_s = {"backbone": stats}
+    flat = flax_student_to_torch_keys("stdc", wrapped_p, wrapped_s)
+    # exported keys carry the 'backbone.' prefix the reference strips for stdc
+    # after removing 'cp.backbone.'; emulate the on-disk 'cp.backbone.' form
+    return {"cp." + k: v for k, v in flat.items()}
+
+
+def test_stdc_pkl_import_roundtrip(tmp_path):
+    params, stats = _build_stdc_template()
+    state = _fake_torch_stdc_state(params, stats)
+    # randomize so we can detect that values actually landed
+    state = {k: np.random.default_rng(hash(k) % 2**32).standard_normal(v.shape)
+             .astype(np.float32) for k, v in state.items()}
+    pkl = tmp_path / "STDCNet1.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump({"model": state}, f)
+
+    new_params, new_stats = torch_import.load_student_checkpoint(
+        str(pkl), "stdc_1", {"backbone": params}, {"backbone": stats})
+
+    # every leaf must have been replaced by the checkpoint values
+    back = flax_student_to_torch_keys("stdc", new_params, new_stats)
+    assert len(back) == len(state)
+    for k, v in back.items():
+        np.testing.assert_allclose(v, state["cp." + k], rtol=1e-6,
+                                   err_msg=f"mismatch at {k}")
+
+
+def _build_resnet_template(depth=18):
+    from dinov2_distillation_tpu.models.backbones.resnet import build
+
+    net, _ = build(f"resnet_{depth}", dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = jax.jit(lambda: net.init(jax.random.PRNGKey(0), x, False))()
+    return variables["params"], variables["batch_stats"]
+
+
+def test_resnet_pkl_import_roundtrip(tmp_path):
+    params, stats = _build_resnet_template()
+    flat = flax_student_to_torch_keys("resnet", {"backbone": params}, {"backbone": stats})
+    # resnet pkls have NO 'backbone.' prefix (detectron2 R-18.pkl layout)
+    state = {k.replace("backbone.", ""): np.random.default_rng(i)
+             .standard_normal(v.shape).astype(np.float32)
+             for i, (k, v) in enumerate(sorted(flat.items()))}
+    pkl = tmp_path / "R-18.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump({"model": state}, f)
+
+    new_params, new_stats = torch_import.load_student_checkpoint(
+        str(pkl), "resnet_18", {"backbone": params}, {"backbone": stats})
+    back = flax_student_to_torch_keys("resnet", new_params, new_stats)
+    for k, v in back.items():
+        np.testing.assert_allclose(v, state[k.replace("backbone.", "")], rtol=1e-6)
+
+
+def test_teacher_key_mapping_covers_vit():
+    """Synthesize a DINOv2-hub-convention state dict for a tiny ViT and check
+    every teacher param leaf is covered by the mapper."""
+    from dinov2_distillation_tpu.models.vit import DINOv2ViT, ViTConfig
+
+    cfg = ViTConfig("tiny", 32, 2, 2, pos_grid=7)
+    model = DINOv2ViT(cfg, dtype=jnp.float32)
+    x = jnp.zeros((1, 28, 28, 3), jnp.float32)
+    params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x))()["params"]
+
+    d = cfg.embed_dim
+    state = {
+        "cls_token": np.zeros((1, 1, d), np.float32),
+        "pos_embed": np.zeros((1, 1 + 49, d), np.float32),
+        "mask_token": np.zeros((1, d), np.float32),
+        "patch_embed.proj.weight": np.zeros((d, 3, 14, 14), np.float32),
+        "patch_embed.proj.bias": np.zeros((d,), np.float32),
+        "norm.weight": np.ones((d,), np.float32),
+        "norm.bias": np.zeros((d,), np.float32),
+    }
+    for i in range(cfg.depth):
+        p = f"blocks.{i}."
+        state.update({
+            p + "norm1.weight": np.ones((d,), np.float32),
+            p + "norm1.bias": np.zeros((d,), np.float32),
+            p + "attn.qkv.weight": np.zeros((3 * d, d), np.float32),
+            p + "attn.qkv.bias": np.zeros((3 * d,), np.float32),
+            p + "attn.proj.weight": np.zeros((d, d), np.float32),
+            p + "attn.proj.bias": np.zeros((d,), np.float32),
+            p + "ls1.gamma": np.ones((d,), np.float32),
+            p + "norm2.weight": np.ones((d,), np.float32),
+            p + "norm2.bias": np.zeros((d,), np.float32),
+            p + "mlp.fc1.weight": np.zeros((4 * d, d), np.float32),
+            p + "mlp.fc1.bias": np.zeros((4 * d,), np.float32),
+            p + "mlp.fc2.weight": np.zeros((d, 4 * d), np.float32),
+            p + "mlp.fc2.bias": np.zeros((d,), np.float32),
+            p + "ls2.gamma": np.ones((d,), np.float32),
+        })
+    mapped = torch_import.map_dinov2_keys(state)
+    flat_template = torch_import._flatten(params)
+    missing = [p for p in flat_template if p not in mapped]
+    assert not missing, f"unmapped teacher params: {missing[:10]}"
+    # shape compatibility (transposes applied)
+    for path, v in flat_template.items():
+        assert tuple(mapped[path].shape) == tuple(v.shape), path

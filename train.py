@@ -1,0 +1,38 @@
+#!/usr/bin/env python
+"""CLI entry point: ``python train.py --config configs/config.yaml [k.path=v ...]``.
+
+Counterpart of the reference ``train.py:291-355``, with the dotted-override
+surface the reference README documents but never implemented
+(``readme.md:272-276``) actually working.
+"""
+
+import argparse
+import sys
+
+from dinov2_distillation_tpu.config import load_config
+from dinov2_distillation_tpu.train.loop import DistillationTrainer
+from dinov2_distillation_tpu.utils.logger import get_logger
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser(description="TPU-native DINOv2 distillation")
+    parser.add_argument(
+        "--config", type=str, default="./configs/config.yaml",
+        help="Path to the YAML config file",
+    )
+    parser.add_argument(
+        "overrides", nargs="*",
+        help="Dotted config overrides, e.g. optimizer.kwargs.lr=5e-4",
+    )
+    return parser.parse_args(argv)
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+    cfg = load_config(args.config, overrides=args.overrides)
+    trainer = DistillationTrainer(cfg)
+    trainer.fit()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
