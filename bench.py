@@ -23,7 +23,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dinov2_distillation_tpu.config import load_config, derive_config, inject_student_dims
+from dinov2_distillation_tpu.utils.jax_setup import enable_compilation_cache
+
+enable_compilation_cache()
+
+from dinov2_distillation_tpu.config import load_config, derive_config, inject_student_dims  # noqa: E402
 from dinov2_distillation_tpu.models.vit import create_teacher
 from dinov2_distillation_tpu.models.zoo import create_student
 from dinov2_distillation_tpu.parallel.mesh import create_mesh, batch_sharding, replicated
@@ -82,12 +86,14 @@ def main(argv=None) -> int:
 
     for i in range(args.warmup):
         state, metrics = step(state, batches[i % 2])
-    jax.block_until_ready(state.params)
+    # NOTE: under the axon TPU tunnel block_until_ready returns at enqueue;
+    # only a device->host transfer truly synchronizes. Fetch a scalar.
+    float(metrics["loss"])
 
     t0 = time.perf_counter()
     for i in range(args.steps):
         state, metrics = step(state, batches[i % 2])
-    jax.block_until_ready(state.params)
+    final_loss = float(metrics["loss"])  # forces completion of the whole chain
     dt = time.perf_counter() - t0
 
     img_per_sec = args.steps * global_batch / dt
@@ -103,7 +109,7 @@ def main(argv=None) -> int:
             "global_batch": global_batch,
             "steps": args.steps,
             "step_time_ms": round(1000 * dt / args.steps, 2),
-            "final_loss": float(metrics["loss"]),
+            "final_loss": final_loss,
         },
     }
     print(json.dumps(result))

@@ -10,20 +10,44 @@ from dinov2_distillation_tpu.models.zoo import available_families, create_studen
 
 _IMG = 64  # divisible by 32; keeps CPU compile fast
 
-# (model_name, expected channel table). Extended as families are added.
+_STRIDES = {"res2": 4, "res3": 8, "res4": 16, "res5": 32}
+# torchvision-tap strides (SURVEY.md §2.3 mobilenet_v3: taps are C2/C3/C4/last,
+# one level deeper than the detectron2 convention — the reference's hardcoded
+# {4,8,16,32} table does not match its own taps; actual shapes win)
+_MNV3_STRIDES = {"res2": 8, "res3": 16, "res4": 32, "res5": 32}
+_MNV3_OS8 = {"res2": 8, "res3": 16, "res4": 16, "res5": 16}
+_MNV2_OS8 = {"res2": 4, "res3": 8, "res4": 8, "res5": 8}
+
+# (model_name, expected channel table, strides). Extended as families land.
 CASES = [
-    ("stdc_1", {"res2": 64, "res3": 256, "res4": 512, "res5": 1024}),
-    ("stdc_2", {"res2": 64, "res3": 256, "res4": 512, "res5": 1024}),
-    ("resnet_18", {"res2": 64, "res3": 128, "res4": 256, "res5": 512}),
-    ("resnet_50", {"res2": 256, "res3": 512, "res4": 1024, "res5": 2048}),
+    ("stdc_1", {"res2": 64, "res3": 256, "res4": 512, "res5": 1024}, _STRIDES),
+    ("stdc_2", {"res2": 64, "res3": 256, "res4": 512, "res5": 1024}, _STRIDES),
+    ("resnet_18", {"res2": 64, "res3": 128, "res4": 256, "res5": 512}, _STRIDES),
+    ("resnet_50", {"res2": 256, "res3": 512, "res4": 1024, "res5": 2048}, _STRIDES),
+    ("convnext_atto", {"res2": 40, "res3": 80, "res4": 160, "res5": 320}, _STRIDES),
+    ("convnext_tiny", {"res2": 96, "res3": 192, "res4": 384, "res5": 768}, _STRIDES),
+    ("mobilenet_v2", {"res2": 24, "res3": 32, "res4": 96, "res5": 320}, _STRIDES),
+    ("mobilenet_v2_os8", {"res2": 24, "res3": 32, "res4": 96, "res5": 320}, _MNV2_OS8),
+    ("mobilenet_v3_small", {"res2": 24, "res3": 40, "res4": 96, "res5": 576}, _MNV3_STRIDES),
+    ("mobilenet_v3_large", {"res2": 40, "res3": 80, "res4": 160, "res5": 960}, _MNV3_STRIDES),
+    ("mobilenet_v3_small_os8", {"res2": 24, "res3": 40, "res4": 96, "res5": 576}, _MNV3_OS8),
+    ("mobilenetv3_small_050", {"res2": 16, "res3": 24, "res4": 48, "res5": 288}, _MNV3_STRIDES),
+    ("darknet_n", {"res2": 32, "res3": 64, "res4": 128, "res5": 256}, _STRIDES),
+    ("darknet_m", {"res2": 96, "res3": 192, "res4": 384, "res5": 576}, _STRIDES),
+    ("presnet_18", {"res2": 64, "res3": 128, "res4": 256, "res5": 512}, _STRIDES),
+    ("presnet_50", {"res2": 256, "res3": 512, "res4": 1024, "res5": 2048}, _STRIDES),
+    ("mit_b0", {"res2": 32, "res3": 64, "res4": 160, "res5": 256}, _STRIDES),
+    ("mit_b2", {"res2": 64, "res3": 128, "res4": 320, "res5": 512}, _STRIDES),
+    ("swin_tiny", {"res2": 96, "res3": 192, "res4": 384, "res5": 768}, _STRIDES),
+    ("efficientnet_b0", {"res2": 24, "res3": 40, "res4": 112, "res5": 320}, _STRIDES),
+    ("efficientnet_b2", {"res2": 24, "res3": 48, "res4": 120, "res5": 352}, _STRIDES),
+    ("edgenext_xx_small", {"res2": 24, "res3": 48, "res4": 88, "res5": 168}, _STRIDES),
 ]
 
-_STRIDES = {"res2": 4, "res3": 8, "res4": 16, "res5": 32}
 
-
-@pytest.mark.parametrize("model_name,channels", CASES, ids=[c[0] for c in CASES])
-def test_backbone_stage_shapes(model_name, channels, rng):
-    backbone_builder_check(model_name, channels, rng)
+@pytest.mark.parametrize("model_name,channels,strides", CASES, ids=[c[0] for c in CASES])
+def test_backbone_stage_shapes(model_name, channels, strides, rng):
+    backbone_builder_check(model_name, channels, rng, strides=strides)
 
 
 def backbone_builder_check(model_name, channels, rng, strides=_STRIDES, img=_IMG):

@@ -10,8 +10,12 @@ import argparse
 import sys
 
 from dinov2_distillation_tpu.config import load_config
-from dinov2_distillation_tpu.train.loop import DistillationTrainer
-from dinov2_distillation_tpu.utils.logger import get_logger
+from dinov2_distillation_tpu.utils.jax_setup import enable_compilation_cache
+
+enable_compilation_cache()
+
+from dinov2_distillation_tpu.train.loop import DistillationTrainer  # noqa: E402
+from dinov2_distillation_tpu.utils.logger import get_logger  # noqa: E402
 
 
 def parse_args(argv=None) -> argparse.Namespace:
