@@ -41,13 +41,14 @@ BASELINE_IMG_PER_SEC_PER_CHIP = 635.0 / 2  # reference: 2x GPU DDP, run.ipynb
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="configs/config.yaml")
+    p.add_argument("overrides", nargs="*", help="dotted config overrides")
     p.add_argument("--batch", type=int, default=None, help="per-chip batch (default from config)")
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--quick", action="store_true", help="small batch / few steps")
     args = p.parse_args(argv)
 
-    cfg = derive_config(load_config(args.config))
+    cfg = derive_config(load_config(args.config, overrides=args.overrides))
     if args.quick:
         args.steps, args.warmup = 10, 3
         per_chip = args.batch or 32

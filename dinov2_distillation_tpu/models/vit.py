@@ -106,8 +106,10 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.activations import gelu_exact
+
         x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = gelu_exact(x)
         return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
 
 
@@ -154,6 +156,7 @@ class DINOv2ViT(nn.Module):
 
     cfg: ViTConfig
     dtype: Any = jnp.bfloat16
+    use_fused: bool = True  # fused-block inference kernel on TPU (ViT-S/B)
 
     def setup(self):
         c = self.cfg
@@ -205,12 +208,33 @@ class DINOv2ViT(nn.Module):
             tokens = blk(tokens)
         return tokens
 
+    def _use_fused(self, n_tokens: int) -> bool:
+        from ..ops.fused_block import fused_block_supported
+
+        if not self.use_fused or self.is_initializing():
+            return False
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:
+            on_tpu = False
+        return on_tpu and fused_block_supported(
+            self.cfg.embed_dim, self.cfg.ffn, n_tokens)
+
     def __call__(self, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         b, ih, iw, _ = images.shape
         h, w = ih // self.cfg.patch_size, iw // self.cfg.patch_size
         tokens = self.embed(images)
-        for blk in self.blocks:
-            tokens = blk(tokens)
+        if self._use_fused(tokens.shape[1]):
+            # inference-only fused path: one Pallas kernel per block, weights
+            # VMEM-resident (the teacher is frozen; gradients never enter here)
+            from ..ops.fused_block import fused_vit_block
+
+            for blk in self.blocks:
+                tokens = fused_vit_block(
+                    tokens, blk.variables["params"], num_heads=self.cfg.num_heads)
+        else:
+            for blk in self.blocks:
+                tokens = blk(tokens)
         tokens = self.norm(tokens)
         patch_tokens = tokens[:, 1:]
         feature_map = patch_tokens.reshape(b, h, w, self.cfg.embed_dim)

@@ -34,33 +34,43 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, nk: int, scale: float):
-    """Single-block fused attention for one (batch*head) slice.
+    """Fused attention for one batch element, ALL heads in-program.
 
-    q_ref: (1, Nq_pad, Dh), k_ref/v_ref: (1, Nk_pad, Dh), o_ref: (1, Nq_pad, Dh).
-    ``nk`` is the real (unpadded) key count — static, so the padding mask is a
-    compile-time constant.
+    q_ref: (1, H, Nq_pad, Dh), k_ref/v_ref: (1, H, Nk_pad, Dh), o_ref like q.
+    Head-batching matters: a (batch*heads,) grid of tiny programs is
+    dominated by per-program sequencing overhead (~1us each); batching the
+    heads turns 1536 programs x 38 MFLOP into 256 programs x 226 MFLOP and
+    runs ~6x faster on the 257-token teacher workload.
+
+    ``nk`` is the real (unpadded) key count — static, so the padding mask is
+    a compile-time constant.
     """
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
 
+    # (H, Nq, Dh) x (H, Nk, Dh) -> (H, Nq, Nk), batched over heads on the MXU
     scores = jax.lax.dot_general(
         q, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
     scores = scores * scale
 
-    nk_pad = k.shape[0]
+    nk_pad = k.shape[1]
     if nk_pad != nk:
-        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=2)
         scores = jnp.where(col < nk, scores, -jnp.inf)
 
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
 
-    out = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    out = jax.lax.dot_general(
+        p.astype(v.dtype), v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
     o_ref[0] = out.astype(o_ref.dtype)
 
 
@@ -73,6 +83,10 @@ def _xla_attention(q, k, v, scale: float):
     return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v).astype(q.dtype)
 
 
+# Keep the per-program fp32 score tensor under ~4 MB: h * nq_pad * nk_pad * 4.
+_MAX_SCORE_ELEMS = 1024 * 1024
+
+
 def _pallas_attention(q, k, v, scale: float, interpret: bool = False):
     b, h, nq, dh = q.shape
     nk = k.shape[2]
@@ -80,34 +94,41 @@ def _pallas_attention(q, k, v, scale: float, interpret: bool = False):
     nk_pad = _round_up(nk, _LANE)
     dh_pad = _round_up(dh, _LANE)
 
-    qf = q.reshape(b * h, nq, dh)
-    kf = k.reshape(b * h, nk, dh)
-    vf = v.reshape(b * h, nk, dh)
     if (nq_pad, dh_pad) != (nq, dh):
-        qf = jnp.pad(qf, ((0, 0), (0, nq_pad - nq), (0, dh_pad - dh)))
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, nq_pad - nq), (0, dh_pad - dh)))
     if (nk_pad, dh_pad) != (nk, dh):
-        kf = jnp.pad(kf, ((0, 0), (0, nk_pad - nk), (0, dh_pad - dh)))
-        vf = jnp.pad(vf, ((0, 0), (0, nk_pad - nk), (0, dh_pad - dh)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, nk_pad - nk), (0, dh_pad - dh)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, nk_pad - nk), (0, dh_pad - dh)))
+
+    # Batch as many heads per program as the VMEM score budget allows.
+    hb = max(1, min(h, _MAX_SCORE_ELEMS // (nq_pad * nk_pad)))
+    while h % hb:
+        hb -= 1
+    grid = (b, h // hb)
 
     kernel = functools.partial(_attn_kernel, nk=nk, scale=scale)
     out = pl.pallas_call(
         kernel,
-        grid=(b * h,),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((1, nq_pad, dh_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nk_pad, dh_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nk_pad, dh_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, nq_pad, dh_pad), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, nk_pad, dh_pad), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, nk_pad, dh_pad), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, nq_pad, dh_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, nq_pad, dh_pad), q.dtype),
+        out_specs=pl.BlockSpec((1, hb, nq_pad, dh_pad), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, nq_pad, dh_pad), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * (nq_pad * nk_pad * dh_pad * 2),
-            bytes_accessed=(b * h) * (nq_pad + 2 * nk_pad + nq_pad) * dh_pad * q.dtype.itemsize,
+            bytes_accessed=(b * h) * (2 * nq_pad + 2 * nk_pad) * dh_pad * q.dtype.itemsize,
             transcendentals=b * h * nq_pad * nk_pad,
         ),
         interpret=interpret,
-    )(qf, kf, vf)
-    return out[:, :nq, :dh].reshape(b, h, nq, dh)
+    )(q, k, v)
+    return out[:, :, :nq, :dh]
 
 
 def _on_tpu() -> bool:
@@ -128,12 +149,111 @@ def _attention_fwd(q, k, v, scale: float, use_pallas: bool):
     return _attention_core(q, k, v, scale, use_pallas), (q, k, v)
 
 
+def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+                *, nk: int, scale: float):
+    """Recompute-based attention backward, fully VMEM-resident.
+
+    Without this, XLA materializes the fp32 (B, H, N, N) probability /
+    dP / dS tensors in HBM several times per attention site — profiling the
+    train step showed those fusions dominating the whole backward pass.
+    Here each (batch, head-block) program rebuilds its scores in VMEM and
+    emits only dq/dk/dv.
+    """
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    nk_pad = k.shape[1]
+    if nk_pad != nk:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=2)
+        s = jnp.where(col < nk, s, -jnp.inf)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)          # (hb, Nq, Nk) fp32
+
+    pb = p.astype(q.dtype)
+    # dv = p^T g
+    dv = jax.lax.dot_general(
+        pb, g.astype(q.dtype),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    # dp = g v^T
+    dp = jax.lax.dot_general(
+        g.astype(q.dtype), v,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dsb = ds.astype(q.dtype)
+    dq = jax.lax.dot_general(
+        dsb, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    dk = jax.lax.dot_general(
+        dsb, q, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _pallas_attention_bwd(q, k, v, g, scale: float, interpret: bool = False):
+    b, h, nq, dh = q.shape
+    nk = k.shape[2]
+    nq_pad = _round_up(nq, _LANE)
+    nk_pad = _round_up(nk, _LANE)
+    dh_pad = _round_up(dh, _LANE)
+
+    if (nq_pad, dh_pad) != (nq, dh):
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, nq_pad - nq), (0, dh_pad - dh)))
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, nq_pad - nq), (0, dh_pad - dh)))
+    if (nk_pad, dh_pad) != (nk, dh):
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, nk_pad - nk), (0, dh_pad - dh)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, nk_pad - nk), (0, dh_pad - dh)))
+
+    # four fp32 (Nq, Nk) temporaries per head in VMEM
+    hb = max(1, min(h, (_MAX_SCORE_ELEMS // 2) // (nq_pad * nk_pad)))
+    while h % hb:
+        hb -= 1
+
+    kernel = functools.partial(_bwd_kernel, nk=nk, scale=scale)
+    spec_q = pl.BlockSpec((1, hb, nq_pad, dh_pad), lambda i, j: (i, j, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_k = pl.BlockSpec((1, hb, nk_pad, dh_pad), lambda i, j: (i, j, 0, 0),
+                          memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(b, h // hb),
+        in_specs=[spec_q, spec_k, spec_k, spec_q],
+        out_specs=(spec_q, spec_k, spec_k),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, nq_pad, dh_pad), q.dtype),
+            jax.ShapeDtypeStruct((b, h, nk_pad, dh_pad), k.dtype),
+            jax.ShapeDtypeStruct((b, h, nk_pad, dh_pad), v.dtype),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * nq_pad * nk_pad * dh_pad * 5,
+            bytes_accessed=(b * h) * (4 * nq_pad + 4 * nk_pad) * dh_pad * q.dtype.itemsize,
+            transcendentals=b * h * nq_pad * nk_pad,
+        ),
+        interpret=interpret,
+    )(q, k, v, g)
+    return dq[:, :, :nq, :dh], dk[:, :, :nk, :dh], dv[:, :, :nk, :dh]
+
+
 def _attention_bwd(scale: float, use_pallas: bool, res, g):
-    """Recompute-based backward: the fp32 (N, N) probability matrix is never
-    materialized in HBM on the forward pass (the Pallas kernel keeps it in
-    VMEM), so the backward rebuilds it once — standard softmax-attention
-    gradients, fused by XLA onto the MXU."""
     q, k, v = res
+    nq, nk = q.shape[2], k.shape[2]
+    if use_pallas and max(_round_up(nq, _LANE), _round_up(nk, _LANE)) <= _MAX_SINGLE_BLOCK_N:
+        return _pallas_attention_bwd(q, k, v, g, scale)
     g = g.astype(jnp.float32)
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
     p = jax.nn.softmax(s, axis=-1)

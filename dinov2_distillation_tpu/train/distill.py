@@ -116,13 +116,17 @@ class DistillationModel(nn.Module):
                 total = total + out["loss"] * weight
                 break
 
-            feat_spat = head.project_feat_spat(
-                student_feats[level], query=spatial_query, train=train)
-            feat_freq = head.project_feat_freq(
-                student_feats[level], query=frequency_query, train=train)
+            queries = None if spatial_query is None else jnp.stack(
+                [spatial_query, frequency_query])
+            pair = head.project_pair(student_feats[level], queries, train=train)
             start, end = teacher_block_range(depth, level)
-            feat_spat = self.teacher.forward_blocks(feat_spat, start, end)
-            feat_freq = self.teacher.forward_blocks(feat_freq, start, end)
+            if end > start:
+                # Both branches traverse the SAME frozen blocks — batch them
+                # into one pass (halves kernel dispatches and weight traffic).
+                two, b, n, d = pair.shape
+                both = self.teacher.forward_blocks(pair.reshape(two * b, n, d), start, end)
+                pair = both.reshape(two, b, n, d)
+            feat_spat, feat_freq = pair[0], pair[1]
             spatial_query = feat_spat
             frequency_query = feat_freq
 

@@ -61,6 +61,30 @@ def test_custom_vjp_matches_autodiff(rng):
         np.testing.assert_allclose(np.asarray(gc), np.asarray(gp), rtol=1e-4, atol=1e-5)
 
 
+def test_pallas_bwd_kernel_matches_xla(rng):
+    """Flash-style backward kernel (interpret mode) vs the einsum gradients."""
+    from dinov2_distillation_tpu.ops.attention import _pallas_attention_bwd
+
+    q = rng.standard_normal((1, 2, 257, 64)).astype(np.float32)
+    k = rng.standard_normal((1, 2, 257, 64)).astype(np.float32)
+    v = rng.standard_normal((1, 2, 257, 64)).astype(np.float32)
+    g = rng.standard_normal((1, 2, 257, 64)).astype(np.float32)
+    scale = 64 ** -0.5
+
+    dq, dk, dv = _pallas_attention_bwd(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(g),
+        scale, interpret=True)
+
+    def f(q, k, v):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.sum(jnp.einsum("bhqk,bhkd->bhqd", p, v) * jnp.asarray(g))
+
+    want = jax.grad(f, argnums=(0, 1, 2))(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    for got, w in zip((dq, dk, dv), want):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(w), rtol=2e-3, atol=2e-3)
+
+
 def test_softmax_scale_folding(rng):
     """The ScaleKD projector folds softmax_scale into the logit scale
     (reference losses/scalekd.py:308)."""
