@@ -90,9 +90,31 @@ def _inv_stdc(path: Tuple[str, ...], collection: str) -> Optional[str]:
     return None
 
 
+def _load_inverse_registry():
+    if len(_INVERSE) > 2:
+        return
+    from . import translators as T
+
+    _INVERSE.update({
+        "convnext": T.inverse_convnext,
+        "darknet": T.inverse_darknet,
+        "mit": T.inverse_mit,
+        "mobilenet_v2": T.inverse_mobilenet_v2,
+        "presnet": T.inverse_presnet,
+        "swin": T.inverse_swin,
+        "efficientnet": T.inverse_efficientnet,
+        "mobilenet_v3_small": T.make_mobilenet_v3_translator("small")[1],
+        "mobilenet_v3_large": T.make_mobilenet_v3_translator("large")[1],
+    })
+
+
 def flax_student_to_torch_keys(
     family: str, params: Any, batch_stats: Any
 ) -> Dict[str, np.ndarray]:
+    _load_inverse_registry()
+    if family == "mobilenet_v3":
+        raise ValueError("pass 'mobilenet_v3_small' or 'mobilenet_v3_large' "
+                         "(the features[] layout depends on the size)")
     inv = _INVERSE.get(family)
     if inv is None:
         raise NotImplementedError(f"No export translator for family '{family}'")
@@ -111,6 +133,8 @@ def flax_student_to_torch_keys(
             arr = np.asarray(val)
             if key.endswith(".weight") and arr.ndim == 4:
                 arr = _conv_back(arr)
+            elif key.endswith(".weight") and arr.ndim == 2 and p[-1] == "kernel":
+                arr = arr.T  # flax Dense (in, out) -> torch Linear (out, in)
             out[f"backbone.{key}"] = arr
     if skipped:
         logger.info(f"export: skipped {len(skipped)} non-exportable leaves "

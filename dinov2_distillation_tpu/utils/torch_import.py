@@ -298,6 +298,34 @@ _PREFIX_STRIP = {
 }
 
 
+def get_translator(model_name: str):
+    """Resolve the forward translator for a model (some families need the
+    variant's layout: mobilenet_v3 block tables, edgenext stage split)."""
+    from ..models.zoo import family_id
+    from . import translators as T  # registers the static families
+
+    fam = family_id(model_name)
+    if fam == "mobilenet_v3":
+        size = "small" if "small" in model_name else "large"
+        return fam, T.make_mobilenet_v3_translator(size)[0]
+    if fam == "edgenext":
+        from ..models.backbones.edgenext import _VARIANTS
+
+        v = _VARIANTS[model_name]
+        return fam, T.make_edgenext_translator(v["depths"], (0, 1, 1, 1))
+    if fam == "mobilenetv3":
+        raise NotImplementedError(
+            "timm-format mobilenetv3_* checkpoints are not yet importable "
+            "(the reference pulled these weights from the network via timm); "
+            "use the torchvision-layout mobilenet_v3_* variants for init "
+            "checkpoints, or train from scratch.")
+    translator = _TRANSLATORS.get(fam)
+    if translator is None:
+        raise NotImplementedError(
+            f"No weight translator registered for family '{fam}'")
+    return fam, translator
+
+
 def load_student_checkpoint(
     path: str,
     model_name: str,
@@ -305,9 +333,7 @@ def load_student_checkpoint(
     template_stats: Any,
 ) -> Tuple[Any, Any]:
     """Returns (params, batch_stats) with imported weights overlaid."""
-    from ..models.zoo import family_id
-
-    fam = family_id(model_name)
+    fam, translator = get_translator(model_name)
     logger.info(f"Loading student checkpoint from: {path} (family {fam})")
     state = load_raw_state_dict(path)
 
@@ -316,11 +342,6 @@ def load_student_checkpoint(
         state = {k.replace(strip, ""): v for k, v in state.items()}
     if fam == "mobilenet_v3":
         state = {k: v for k, v in state.items() if "classifier" not in k}
-
-    translator = _TRANSLATORS.get(fam)
-    if translator is None:
-        raise NotImplementedError(
-            f"No weight translator registered for family '{fam}'")
 
     mapped_params: Dict[Tuple[str, ...], np.ndarray] = {}
     mapped_stats: Dict[Tuple[str, ...], np.ndarray] = {}

@@ -117,6 +117,97 @@ def test_resnet_pkl_import_roundtrip(tmp_path):
         np.testing.assert_allclose(v, state[k.replace("backbone.", "")], rtol=1e-6)
 
 
+def _build_template(model_name, img=64):
+    from dinov2_distillation_tpu.models import zoo
+
+    zoo._load_builders()
+    net, _ = zoo._BUILDERS[zoo.family_id(model_name)](model_name, dtype=jnp.float32)
+    x = jnp.zeros((1, img, img, 3), jnp.float32)
+    variables = jax.jit(lambda: net.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, False))()
+    return variables["params"], variables.get("batch_stats", {})
+
+
+# family checkpoints carry different key prefixes on disk
+# (reference distillation_module.py:413-424)
+_DISK_PREFIX = {
+    "stdc": "cp.backbone.", "mit": "backbone.", "darknet": "backbone.",
+    "mobilenet_v2": "backbone.", "presnet": "backbone.",
+    "mobilenet_v3": "backbone.",
+}
+
+_ROUNDTRIP_CASES = [
+    ("convnext_atto", "convnext"),
+    ("darknet_n", "darknet"),
+    ("mit_b0", "mit"),
+    ("mobilenet_v2", "mobilenet_v2"),
+    ("mobilenet_v3_small", "mobilenet_v3_small"),
+    ("presnet_18", "presnet"),
+    ("presnet_50", "presnet"),
+    ("swin_tiny", "swin"),
+    ("efficientnet_b0", "efficientnet"),
+]
+
+
+@pytest.mark.parametrize("model_name,inv_family", _ROUNDTRIP_CASES,
+                         ids=[c[0] for c in _ROUNDTRIP_CASES])
+def test_family_import_roundtrip(model_name, inv_family, tmp_path):
+    """Export inverse -> fake torch pkl -> import -> identical tree."""
+    from dinov2_distillation_tpu.models.zoo import family_id
+
+    params, stats = _build_template(model_name)
+    flat = flax_student_to_torch_keys(inv_family, {"backbone": params},
+                                      {"backbone": stats})
+    assert flat, f"no exportable leaves for {model_name}"
+    prefix = _DISK_PREFIX.get(family_id(model_name), "")
+    state = {prefix + k.replace("backbone.", "", 1): np.random.default_rng(i)
+             .standard_normal(v.shape).astype(np.float32)
+             for i, (k, v) in enumerate(sorted(flat.items()))}
+    pkl = tmp_path / f"{model_name}.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump({"model": state}, f)
+
+    new_params, new_stats = torch_import.load_student_checkpoint(
+        str(pkl), model_name, {"backbone": params}, {"backbone": stats})
+    back = flax_student_to_torch_keys(inv_family, new_params, new_stats)
+    assert len(back) == len(state)
+    for k, v in back.items():
+        want = state[prefix + k.replace("backbone.", "", 1)]
+        np.testing.assert_allclose(v, want, rtol=1e-6, err_msg=f"{model_name}: {k}")
+
+
+def test_import_covers_all_params():
+    """Every param leaf of each family template must be reachable from some
+    torch key (no silently-uninitializable weights)."""
+    from dinov2_distillation_tpu.utils.torch_import import _flatten
+
+    for model_name, inv_family in _ROUNDTRIP_CASES:
+        params, stats = _build_template(model_name)
+        flat_t = flax_student_to_torch_keys(inv_family, {"backbone": params},
+                                            {"backbone": stats})
+        n_leaves = len(_flatten(params)) + len(_flatten(stats))
+        assert len(flat_t) == n_leaves, (
+            f"{model_name}: {n_leaves - len(flat_t)} leaves not exportable")
+
+
+def test_edgenext_translator_keys():
+    from dinov2_distillation_tpu.utils.translators import make_edgenext_translator
+
+    t = make_edgenext_translator((2, 2, 6, 2), (0, 1, 1, 1))
+    assert t("stem.0.weight")[1] == ("stem_conv", "kernel")
+    assert t("stem.1.weight")[1] == ("stem_norm", "scale")
+    assert t("stages.1.downsample.1.weight")[1] == ("downsample_conv_1", "kernel")
+    assert t("stages.0.blocks.0.conv_dw.weight")[1] == ("stage0_conv0", "dwconv", "kernel")
+    assert t("stages.0.blocks.0.gamma")[1] == ("stage0_conv0", "gamma")
+    # stage 1: depth 2, one SDTA at the end -> blocks.1 is the SDTA
+    assert t("stages.1.blocks.1.xca.qkv.weight")[1] == ("stage1_sdta0", "xca", "qkv", "kernel")
+    assert t("stages.1.blocks.1.convs.0.weight")[1] == ("stage1_sdta0", "dw_0", "kernel")
+    assert t("stages.1.blocks.1.mlp.fc1.weight")[1] == ("stage1_sdta0", "pwconv1", "kernel")
+    assert t("stages.1.blocks.1.pos_embd.token_projection.weight")[1] == \
+        ("stage1_sdta0", "pos_embd", "token_projection", "kernel")
+
+
 def test_teacher_key_mapping_covers_vit():
     """Synthesize a DINOv2-hub-convention state dict for a tiny ViT and check
     every teacher param leaf is covered by the mapper."""

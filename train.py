@@ -34,6 +34,22 @@ def parse_args(argv=None) -> argparse.Namespace:
 def main(argv=None) -> None:
     args = parse_args(argv)
     cfg = load_config(args.config, overrides=args.overrides)
+
+    # Multi-host: one JAX process per TPU host over ICI/DCN (replaces the
+    # reference's Lightning DDP num_nodes — config train.num_nodes > 1 or
+    # standard TPU pod env vars trigger distributed init).
+    import os
+
+    if int(cfg.get("train", {}).get("num_nodes", 1) or 1) > 1 or \
+            os.environ.get("MEGASCALE_COORDINATOR_ADDRESS") or \
+            os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        import jax
+
+        jax.distributed.initialize()
+        get_logger().info(
+            f"jax.distributed initialized: process {jax.process_index()}/"
+            f"{jax.process_count()}")
+
     trainer = DistillationTrainer(cfg)
     trainer.fit()
 
