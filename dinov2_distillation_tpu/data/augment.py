@@ -199,6 +199,29 @@ def sample_erase_rect(
     return (0, 0, 0, 0)
 
 
+class StagingTransform:
+    """Host half of the *device* augmentation path: decode + fixed resize to
+    a square staging frame (uint8); every stochastic op then runs under jit
+    (data/device_augment.py). Shrinks the 1-CPU-host duty to JPEG decode.
+
+    Note: the square staging resize distorts aspect ratio before the
+    RandomResizedCrop (the host path crops the original geometry); the
+    aspect-ratio sampling of the crop largely compensates, and the trade is
+    host throughput — documented divergence.
+    """
+
+    def __init__(self, staging_size: int = 256):
+        self.staging_size = int(staging_size)
+        self.global_crops_size = (self.staging_size, self.staging_size)
+
+    def __call__(self, image: Image.Image, rng: np.random.Generator):
+        s = self.staging_size
+        arr = np.asarray(image.resize((s, s), _BILINEAR), dtype=np.uint8)
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, axis=-1)
+        return arr, (0, 0, 0, 0)
+
+
 class DataAugmentationDINO:
     """Host half of the reference pipeline (augmentations.py:24-78).
 

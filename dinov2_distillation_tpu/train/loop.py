@@ -71,10 +71,19 @@ class DistillationTrainer:
                     f"({self.process_count} host(s))")
 
         # --- data ----------------------------------------------------------
-        self.transform = DataAugmentationDINO(
-            global_crops_scale=tuple(cfg.data_transform.global_crops_scale),
-            global_crops_size=tuple(cfg.data_transform.global_crops_size),
-        )
+        # augment_on_device moves ALL stochastic augmentation under jit
+        # (data/device_augment.py); the host only decodes + stages frames.
+        self.augment_on_device = bool(cfg.data_loader.get("augment_on_device", False))
+        if self.augment_on_device:
+            from ..data.augment import StagingTransform
+
+            self.transform = StagingTransform(
+                staging_size=int(cfg.data_loader.get("staging_size", 256)))
+        else:
+            self.transform = DataAugmentationDINO(
+                global_crops_scale=tuple(cfg.data_transform.global_crops_scale),
+                global_crops_size=tuple(cfg.data_transform.global_crops_size),
+            )
         # config batch_size is per-chip (reference: per-GPU, config.yaml:75)
         per_chip = int(cfg.data_loader.batch_size)
         self.global_batch = per_chip * n_data
@@ -132,6 +141,8 @@ class DistillationTrainer:
         # --- state / steps -------------------------------------------------
         self.state = None
         self.start_epoch = 0
+        self._aug_rng = jax.random.PRNGKey(
+            int(cfg.train.get("seed", 0)) ^ 0x5EED)
         self.train_step = make_train_step(self.model, self.tx)
         self.eval_step = make_eval_step(self.model)
         logger.info("DistillationTrainer initialized.")
@@ -139,12 +150,25 @@ class DistillationTrainer:
     # --- state construction ---------------------------------------------
 
     def _sample_batch(self) -> Dict[str, np.ndarray]:
-        h, w = self.transform.global_crops_size
+        # model-input geometry (post device-augment if enabled)
+        h, w = (int(s) for s in self.cfg.data_transform.global_crops_size)
         per_host = self.global_batch // self.process_count
         return {
             "image": np.zeros((per_host, h, w, 3), np.uint8),
             "erase": np.zeros((per_host, 4), np.int32),
         }
+
+    def _augment_on_device(self, global_batch, stream: int, idx: int):
+        """Run the jitted augmentation pipeline on a staged global batch."""
+        from ..data.device_augment import augment_batch
+
+        rng = jax.random.fold_in(
+            jax.random.fold_in(self._aug_rng, stream), idx)
+        return augment_batch(
+            global_batch["image"], rng,
+            crop_size=int(self.cfg.data_transform.global_crops_size[0]),
+            scale=tuple(self.cfg.data_transform.global_crops_scale),
+        )
 
     def setup_state(self) -> None:
         if self.state is not None:
@@ -219,6 +243,9 @@ class DistillationTrainer:
         last: Dict[str, float] = {}
         for i, batch in enumerate(self.train_loader):
             global_batch = shard_batch(batch, self.mesh)
+            if self.augment_on_device:
+                global_batch = self._augment_on_device(
+                    global_batch, stream=0, idx=epoch * len(self.train_loader) + i)
             self.state, metrics = self.train_step(self.state, global_batch)
             if (i + 1) % self.log_every == 0 or i == len(self.train_loader) - 1:
                 host = {f"train_{k}": float(v) for k, v in metrics.items()}
@@ -242,8 +269,12 @@ class DistillationTrainer:
         self.val_loader.set_epoch(epoch)
         sums: Dict[str, float] = defaultdict(float)
         n = 0
-        for batch in self.val_loader:
+        for i, batch in enumerate(self.val_loader):
             global_batch = shard_batch(batch, self.mesh)
+            if self.augment_on_device:
+                # parity: validation uses the stochastic train transform
+                global_batch = self._augment_on_device(
+                    global_batch, stream=1, idx=epoch * len(self.val_loader) + i)
             metrics = self.eval_step(self.state, global_batch)
             for k, v in metrics.items():
                 sums[k] += float(v)
