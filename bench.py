@@ -46,6 +46,8 @@ def main(argv=None) -> int:
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--quick", action="store_true", help="small batch / few steps")
+    p.add_argument("--profile", metavar="LOGDIR", default=None,
+                   help="capture a jax.profiler trace of 3 steps to LOGDIR")
     args = p.parse_args(argv)
 
     cfg = derive_config(load_config(args.config, overrides=args.overrides))
@@ -90,6 +92,14 @@ def main(argv=None) -> int:
     # NOTE: under the axon TPU tunnel block_until_ready returns at enqueue;
     # only a device->host transfer truly synchronizes. Fetch a scalar.
     float(metrics["loss"])
+
+    if args.profile:
+        from dinov2_distillation_tpu.utils.profiling import trace_steps
+
+        with trace_steps(args.profile):
+            for i in range(3):
+                state, metrics = step(state, batches[i % 2])
+            float(metrics["loss"])
 
     t0 = time.perf_counter()
     for i in range(args.steps):

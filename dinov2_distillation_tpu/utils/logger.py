@@ -124,7 +124,8 @@ _LOG_TIMER: dict = {}
 
 
 def _caller_key():
-    frame = sys._getframe(3)
+    # frame 0 = _caller_key, 1 = the log_* helper, 2 = the caller
+    frame = sys._getframe(2)
     return (frame.f_code.co_filename, frame.f_lineno)
 
 

@@ -1,0 +1,95 @@
+"""Logger helpers, metric logger, throughput meter, profiling StepTimer."""
+
+import json
+import logging
+import time
+
+from dinov2_distillation_tpu.utils.logger import (
+    get_logger,
+    log_every_n,
+    log_first_n,
+    log_every_n_seconds,
+)
+from dinov2_distillation_tpu.utils.metrics import MetricLogger, ThroughputMeter
+from dinov2_distillation_tpu.utils.profiling import StepTimer
+
+
+def test_get_logger_singleton():
+    a = get_logger()
+    b = get_logger()
+    assert a is b
+    assert a.name == "dinov2_distillation_tpu"
+
+
+def test_log_first_n(caplog):
+    logger = get_logger()
+    logger.propagate = True
+    try:
+        with caplog.at_level(logging.INFO, logger=logger.name):
+            for _ in range(5):
+                log_first_n(logging.INFO, "only-twice", n=2)
+        assert sum("only-twice" in r.message for r in caplog.records) == 2
+    finally:
+        logger.propagate = False
+
+
+def test_log_every_n(caplog):
+    logger = get_logger()
+    logger.propagate = True
+    try:
+        with caplog.at_level(logging.INFO, logger=logger.name):
+            for _ in range(7):
+                log_every_n(logging.INFO, "every-3", n=3)
+        assert sum("every-3" in r.message for r in caplog.records) == 3  # 1,4,7
+    finally:
+        logger.propagate = False
+
+
+def test_log_every_n_seconds(caplog):
+    logger = get_logger()
+    logger.propagate = True
+    try:
+        with caplog.at_level(logging.INFO, logger=logger.name):
+            for _ in range(10):
+                log_every_n_seconds(logging.INFO, "rate-limited", n=60)
+        assert sum("rate-limited" in r.message for r in caplog.records) == 1
+    finally:
+        logger.propagate = False
+
+
+def test_metric_logger_jsonl(tmp_path):
+    m = MetricLogger(str(tmp_path), use_tensorboard=False)
+    m.log_scalars(1, {"loss": 1.5})
+    m.log_scalars(2, {"loss": 1.25, "lr": 1e-3})
+    m.close()
+    lines = [json.loads(l) for l in (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    assert lines[0]["step"] == 1 and lines[0]["loss"] == 1.5
+    assert lines[1]["lr"] == 1e-3
+
+
+def test_metric_logger_non_main_writes_nothing(tmp_path):
+    m = MetricLogger(str(tmp_path / "sub"), is_main_process=False)
+    m.log_scalars(1, {"loss": 1.0})
+    m.close()
+    assert not (tmp_path / "sub").exists()
+
+
+def test_throughput_meter():
+    meter = ThroughputMeter(warmup_steps=1)
+    for _ in range(4):
+        meter.tick(10)
+        time.sleep(0.01)
+    assert meter.steps_measured == 3
+    assert 100 < meter.images_per_sec < 4000
+
+
+def test_step_timer():
+    t = StepTimer()
+    t.phase("data")
+    time.sleep(0.01)
+    t.phase("step")
+    time.sleep(0.02)
+    t.stop()
+    s = t.summary()
+    assert set(s) == {"data", "step", "total"}
+    assert s["step"] > s["data"] > 0
