@@ -210,9 +210,23 @@ class StagingTransform:
     host throughput — documented divergence.
     """
 
-    def __init__(self, staging_size: int = 256):
+    def __init__(self, staging_size: int = 256, use_native: bool = True):
         self.staging_size = int(staging_size)
         self.global_crops_size = (self.staging_size, self.staging_size)
+        self.use_native = use_native
+
+    def from_path(self, path: str, rng: np.random.Generator):
+        """Fast path: native C++ JPEG decode+resize (data/native_loader.py),
+        bypassing PIL entirely. Returns None to request the PIL fallback."""
+        if not self.use_native:
+            return None
+        from .native_loader import stage_jpeg_file
+
+        s = self.staging_size
+        arr = stage_jpeg_file(path, s, s)
+        if arr is None:
+            return None
+        return arr, (0, 0, 0, 0)
 
     def __call__(self, image: Image.Image, rng: np.random.Generator):
         s = self.staging_size

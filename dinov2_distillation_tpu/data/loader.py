@@ -74,6 +74,11 @@ class DataLoader:
 
     def _load_one(self, idx: int):
         rng = np.random.default_rng((self.seed, self.epoch, int(idx)))
+        if hasattr(self.transform, "from_path"):
+            # native decode fast path (GIL-free C++); None -> PIL fallback
+            out = self.transform.from_path(self.dataset.images[int(idx)], rng)
+            if out is not None:
+                return out
         img = self.dataset.load(int(idx))
         return self.transform(img, rng)
 
