@@ -231,7 +231,7 @@ class AttentionProjector(nn.Module):
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
-            dtype=jnp.float32,
+            dtype=self.dtype,  # moments reduce in fp32 inside flax
             name="proj_bn",
         )(s)
         s = nn.relu(s)

@@ -59,7 +59,7 @@ class ConvBN(nn.Module):
             use_running_average=not train,
             momentum=_BN_MOMENTUM,
             epsilon=_BN_EPS,
-            dtype=jnp.float32,
+            dtype=self.dtype,  # stats still reduce in fp32 inside flax
             name="bn",
         )(x)
         if self.act is not None:
@@ -68,12 +68,16 @@ class ConvBN(nn.Module):
 
 
 def batch_norm(train: bool, name: str = "bn", epsilon: float = _BN_EPS,
-               momentum: float = _BN_MOMENTUM) -> nn.BatchNorm:
+               momentum: float = _BN_MOMENTUM, dtype: Any = jnp.bfloat16) -> nn.BatchNorm:
+    """BatchNorm cell. ``dtype`` is the compute/output dtype; flax computes
+    the batch moments in fp32 regardless, and the running stats live in
+    fp32 params — keeping the (B, H, W, C) activation traffic in bf16
+    halves the HBM cost of every BN in the CNN students."""
     return nn.BatchNorm(
         use_running_average=not train,
         momentum=momentum,
         epsilon=epsilon,
-        dtype=jnp.float32,
+        dtype=dtype,
         name=name,
     )
 
