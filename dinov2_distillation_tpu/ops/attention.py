@@ -126,6 +126,8 @@ def _pallas_attention(q, k, v, scale: float, interpret: bool = False):
             bytes_accessed=(b * h) * (2 * nq_pad + 2 * nk_pad) * dh_pad * q.dtype.itemsize,
             transcendentals=b * h * nq_pad * nk_pad,
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(q, k, v)
     return out[:, :, :nq, :dh]
@@ -244,6 +246,8 @@ def _pallas_attention_bwd(q, k, v, g, scale: float, interpret: bool = False):
             bytes_accessed=(b * h) * (4 * nq_pad + 4 * nk_pad) * dh_pad * q.dtype.itemsize,
             transcendentals=b * h * nq_pad * nk_pad,
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(q, k, v, g)
     return dq[:, :, :nq, :dh], dk[:, :, :nk, :dh], dv[:, :, :nk, :dh]

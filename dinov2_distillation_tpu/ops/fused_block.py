@@ -151,6 +151,7 @@ def fused_vit_block(
             bytes_accessed=2 * b * n_pad * d * 2 + sum(w.size for w in weights) * 2,
             transcendentals=b * n_pad * 4 * d,
         ),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
         interpret=interpret,
     )(x, *weights)
     return out[:, :n]
