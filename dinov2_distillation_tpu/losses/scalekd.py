@@ -30,7 +30,7 @@ from typing import Any, Dict, Optional, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops.attention import fused_attention
+from ..ops.attention import fused_attention, token_major_attention
 
 _NORM_EPS = 1e-12  # torch F.normalize default
 
@@ -146,18 +146,19 @@ class WindowMultiheadPosAttention(nn.Module):
         else:
             scale = hd ** -0.5 * self.softmax_scale
 
-        q = q.reshape(b, n_out, nh, hd).transpose(0, 2, 1, 3)
-        k = k.reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
-        v = v.reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
-
         if n_windows > 1:
-            q = self._separate_tokens(q)
-            k = self._separate_tokens(k)
-            v = self._separate_tokens(v)
-
-        out = fused_attention(q, k, v, scale=scale)
-
-        out = out.reshape(b, nh, n_out, hd).transpose(0, 2, 1, 3).reshape(b, n_out, self.embed_dim)
+            qh = q.reshape(b, n_out, nh, hd).transpose(0, 2, 1, 3)
+            kh = k.reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
+            vh = v.reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
+            out = fused_attention(
+                self._separate_tokens(qh), self._separate_tokens(kh),
+                self._separate_tokens(vh), scale=scale)
+            out = out.reshape(b, nh, n_out, hd).transpose(0, 2, 1, 3)
+            out = out.reshape(b, n_out, self.embed_dim)
+        else:
+            # token-major: heads are lane slices in-kernel (no transposes,
+            # no head-dim padding — vital at head_dim 16/24)
+            out = token_major_attention(q, k, v, nh, scale=scale)
         return nn.Dense(self.embed_dim, dtype=self.dtype, name="proj")(out)
 
     def _separate_tokens(self, x: jnp.ndarray) -> jnp.ndarray:

@@ -24,7 +24,7 @@ from typing import Any, Dict, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ...ops.attention import fused_attention
+from ...ops.attention import token_major_attention
 
 
 class DWConvMlp(nn.Module):
@@ -60,7 +60,6 @@ class SRAttention(nn.Module):
         b, n, c = x.shape
         nh, hd = self.num_heads, self.dim // self.num_heads
         q = nn.Dense(self.dim, use_bias=True, dtype=self.dtype, name="q")(x)
-        q = q.reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
 
         kv_in = x
         if self.sr_ratio > 1:
@@ -71,12 +70,10 @@ class SRAttention(nn.Module):
             y = y.reshape(b, -1, c)
             kv_in = nn.LayerNorm(dtype=self.dtype, name="norm")(y)
         kv = nn.Dense(2 * self.dim, use_bias=True, dtype=self.dtype, name="kv")(kv_in)
-        nk = kv_in.shape[1]
-        kv = kv.reshape(b, nk, 2, nh, hd).transpose(2, 0, 3, 1, 4)
-        k, v = kv[0], kv[1]
+        k = kv[..., : self.dim]
+        v = kv[..., self.dim:]
 
-        out = fused_attention(q, k, v, scale=hd ** -0.5)
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
+        out = token_major_attention(q, k, v, nh, scale=hd ** -0.5)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 

@@ -36,7 +36,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import fused_attention
+from ..ops.attention import token_major_attention
 from ..ops.resize import interpolate_pos_embed
 
 PATCH_SIZE = 14
@@ -79,13 +79,14 @@ class MHSA(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        b, n, _ = x.shape
         head_dim = self.dim // self.num_heads
         qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
-        q, k, v = (jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3))
-        out = fused_attention(q, k, v, scale=head_dim ** -0.5)
-        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, self.dim)
+        # token-major attention: heads are lane slices in-kernel; no 5-D
+        # reshape/transpose round-trips through HBM
+        q = qkv[..., : self.dim]
+        k = qkv[..., self.dim: 2 * self.dim]
+        v = qkv[..., 2 * self.dim:]
+        out = token_major_attention(q, k, v, self.num_heads, scale=head_dim ** -0.5)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 

@@ -140,6 +140,204 @@ def _on_tpu() -> bool:
         return False
 
 
+# ---------------------------------------------------------------------------
+# Token-major attention: q/k/v stay (B, N, D); heads are lane slices inside
+# the kernel. This avoids BOTH the (B, H, N, dh) transpose copies and the
+# HBM materialization of dh->128 padded tensors that XLA emits around the
+# head-major layout (profiled at tens of ms per step for the ScaleKD
+# projectors, whose head_dims are 16/24).
+# ---------------------------------------------------------------------------
+
+
+def _tm_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, nk: int, num_heads: int,
+                   scale: float):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    n_pad, d = q.shape
+    nk_pad = k.shape[0]
+    hd = d // num_heads
+    col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, nk_pad), dimension=1)
+    key_mask = col < nk
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = jnp.where(key_mask, s, -jnp.inf)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(q.dtype)
+        o_ref[0, :, sl] = jnp.dot(
+            p, v[:, sl], preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _tm_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+                   *, nk: int, num_heads: int, scale: float):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]
+    n_pad, d = q.shape
+    nk_pad = k.shape[0]
+    hd = d // num_heads
+    col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, nk_pad), dimension=1)
+    key_mask = col < nk
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        qh, kh, vh, gh = q[:, sl], k[:, sl], v[:, sl], g[:, sl]
+        s = jax.lax.dot_general(
+            qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = jnp.where(key_mask, s, -jnp.inf)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        pb = p.astype(q.dtype)
+        dv_ref[0, :, sl] = jax.lax.dot_general(
+            pb, gh, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        dp = jax.lax.dot_general(
+            gh, vh, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dsb = ds.astype(q.dtype)
+        dq_ref[0, :, sl] = (jnp.dot(
+            dsb, kh, preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = (jax.lax.dot_general(
+            dsb, qh, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype)
+
+
+def _tm_pad(x, n_pad):
+    n = x.shape[1]
+    return x if n == n_pad else jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+
+
+def _tm_pallas_fwd(q, k, v, num_heads: int, scale: float, interpret=False):
+    b, nq, d = q.shape
+    nk = k.shape[1]
+    nq_pad = _round_up(nq, _LANE)
+    nk_pad = _round_up(nk, _LANE)
+    q, k, v = _tm_pad(q, nq_pad), _tm_pad(k, nk_pad), _tm_pad(v, nk_pad)
+    kernel = functools.partial(_tm_fwd_kernel, nk=nk, num_heads=num_heads,
+                               scale=scale)
+    spec_q = pl.BlockSpec((1, nq_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    spec_k = pl.BlockSpec((1, nk_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[spec_q, spec_k, spec_k],
+        out_specs=spec_q,
+        out_shape=jax.ShapeDtypeStruct((b, nq_pad, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(q, k, v)
+    return out[:, :nq]
+
+
+def _tm_pallas_bwd(q, k, v, g, num_heads: int, scale: float, interpret=False):
+    b, nq, d = q.shape
+    nk = k.shape[1]
+    nq_pad = _round_up(nq, _LANE)
+    nk_pad = _round_up(nk, _LANE)
+    q, g = _tm_pad(q, nq_pad), _tm_pad(g, nq_pad)
+    k, v = _tm_pad(k, nk_pad), _tm_pad(v, nk_pad)
+    kernel = functools.partial(_tm_bwd_kernel, nk=nk, num_heads=num_heads,
+                               scale=scale)
+    spec_q = pl.BlockSpec((1, nq_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    spec_k = pl.BlockSpec((1, nk_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[spec_q, spec_k, spec_k, spec_q],
+        out_specs=(spec_q, spec_k, spec_k),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, nq_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((b, nk_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((b, nk_pad, d), v.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(q, k, v, g)
+    return dq[:, :nq], dk[:, :nk], dv[:, :nk]
+
+
+def _tm_xla(q, k, v, num_heads: int, scale: float):
+    b, nq, d = q.shape
+    nk = k.shape[1]
+    hd = d // num_heads
+    qh = q.reshape(b, nq, num_heads, hd).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, nk, num_heads, hd).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, nk, num_heads, hd).transpose(0, 2, 1, 3)
+    out = _xla_attention(qh, kh, vh, scale)
+    return out.transpose(0, 2, 1, 3).reshape(b, nq, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _tm_core(q, k, v, num_heads: int, scale: float, use_pallas: bool):
+    if use_pallas:
+        return _tm_pallas_fwd(q, k, v, num_heads, scale)
+    return _tm_xla(q, k, v, num_heads, scale)
+
+
+def _tm_fwd(q, k, v, num_heads, scale, use_pallas):
+    return _tm_core(q, k, v, num_heads, scale, use_pallas), (q, k, v)
+
+
+def _tm_bwd(num_heads, scale, use_pallas, res, g):
+    q, k, v = res
+    if use_pallas:
+        return _tm_pallas_bwd(q, k, v, g, num_heads, scale)
+    # XLA fallback via the head-major custom bwd
+    b, nq, d = q.shape
+    nk = k.shape[1]
+    hd = d // num_heads
+
+    def to_h(x, n):
+        return x.reshape(b, n, num_heads, hd).transpose(0, 2, 1, 3)
+
+    dq, dk, dv = _attention_bwd(scale, False, (to_h(q, nq), to_h(k, nk), to_h(v, nk)),
+                                to_h(g, nq))
+
+    def back(x, n):
+        return x.transpose(0, 2, 1, 3).reshape(b, n, d)
+
+    return back(dq, nq), back(dk, nk), back(dv, nk)
+
+
+def token_major_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_heads: int,
+    scale: Optional[float] = None,
+    *,
+    use_pallas: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Multi-head attention over (B, N, D) token tensors.
+
+    Heads are static lane slices of D inside the kernel — no head-major
+    transpose and no head-dim padding ever reaches HBM. Preferred form for
+    every non-windowed attention in the framework.
+    """
+    d = q.shape[-1]
+    if scale is None:
+        scale = (d // num_heads) ** -0.5
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+    nq, nk = q.shape[1], k.shape[1]
+    if max(_round_up(nq, _LANE), _round_up(nk, _LANE)) > _MAX_SINGLE_BLOCK_N:
+        use_pallas = False
+    return _tm_core(q, k, v, num_heads, float(scale), bool(use_pallas))
+
+
+_tm_core.defvjp(_tm_fwd, _tm_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _attention_core(q, k, v, scale: float, use_pallas: bool):
     if use_pallas:

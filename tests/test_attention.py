@@ -4,6 +4,7 @@ gradient correctness of the custom VJP."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dinov2_distillation_tpu.ops.attention import (
     _pallas_attention,
@@ -83,6 +84,84 @@ def test_pallas_bwd_kernel_matches_xla(rng):
     want = jax.grad(f, argnums=(0, 1, 2))(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
     for got, w in zip((dq, dk, dv), want):
         np.testing.assert_allclose(np.asarray(got), np.asarray(w), rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("num_heads,d", [(2, 32), (16, 384), (24, 384)])
+def test_token_major_matches_head_major(rng, num_heads, d):
+    """Token-major attention (heads as lane slices) == reference head-major
+    math, including the projector head_dims 24 and 16."""
+    from dinov2_distillation_tpu.ops.attention import token_major_attention
+
+    b, nq, nk = 2, 16, 12
+    hd = d // num_heads
+    q = rng.standard_normal((b, nq, d)).astype(np.float32)
+    k = rng.standard_normal((b, nk, d)).astype(np.float32)
+    v = rng.standard_normal((b, nk, d)).astype(np.float32)
+    got = np.asarray(token_major_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), num_heads,
+        use_pallas=False))
+
+    def heads(x, n):
+        return x.reshape(b, n, num_heads, hd).transpose(0, 2, 1, 3)
+
+    want = _ref_attention(heads(q, nq), heads(k, nk), heads(v, nk), hd ** -0.5)
+    want = want.transpose(0, 2, 1, 3).reshape(b, nq, d)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_token_major_pallas_interpret(rng):
+    from dinov2_distillation_tpu.ops.attention import _tm_pallas_fwd, _tm_xla
+
+    q = jnp.asarray(rng.standard_normal((1, 257, 96)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 200, 96)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 200, 96)).astype(np.float32))
+    got = np.asarray(_tm_pallas_fwd(q, k, v, 4, 24 ** -0.5, interpret=True))
+    want = np.asarray(_tm_xla(q, k, v, 4, 24 ** -0.5))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_token_major_grads(rng):
+    from dinov2_distillation_tpu.ops.attention import token_major_attention
+
+    q = jnp.asarray(rng.standard_normal((1, 10, 48)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 12, 48)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 12, 48)).astype(np.float32))
+
+    def f_custom(q, k, v):
+        return jnp.sum(token_major_attention(q, k, v, 4, use_pallas=False) ** 2)
+
+    def f_plain(q, k, v):
+        hd = 12
+        qh = q.reshape(1, 10, 4, hd).transpose(0, 2, 1, 3)
+        kh = k.reshape(1, 12, 4, hd).transpose(0, 2, 1, 3)
+        vh = v.reshape(1, 12, 4, hd).transpose(0, 2, 1, 3)
+        s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) * hd ** -0.5
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, vh)
+        return jnp.sum((o.transpose(0, 2, 1, 3).reshape(1, 10, 48)) ** 2)
+
+    gc = jax.grad(f_custom, argnums=(0, 1, 2))(q, k, v)
+    gp = jax.grad(f_plain, argnums=(0, 1, 2))(q, k, v)
+    for a, b2 in zip(gc, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2), rtol=1e-4, atol=1e-5)
+
+
+def test_token_major_bwd_kernel_interpret(rng):
+    from dinov2_distillation_tpu.ops.attention import _tm_pallas_bwd, _tm_xla
+
+    q = jnp.asarray(rng.standard_normal((1, 100, 64)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 80, 64)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 80, 64)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((1, 100, 64)).astype(np.float32))
+    dq, dk, dv = _tm_pallas_bwd(q, k, v, g, 4, 16 ** -0.5, interpret=True)
+
+    def f(q, k, v):
+        return jnp.sum(_tm_xla(q, k, v, 4, 16 ** -0.5) * g)
+
+    want = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    for got, w in zip((dq, dk, dv), want):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(w),
+                                   rtol=2e-3, atol=2e-3)
 
 
 def test_softmax_scale_folding(rng):
