@@ -65,23 +65,31 @@ def _block_kernel(
     col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), dimension=1)
     key_mask = col < n_tokens
 
-    # Per-head slices: Mosaic cannot re-layout a lane-dim split
-    # ((N, D) -> (H, N, hd) reshape crashes the compiler), so heads are
-    # processed as a short static loop of lane slices instead.
-    outs = []
-    for hd_i in range(num_heads):
-        q = qkv[:, hd_i * head_dim:(hd_i + 1) * head_dim]
-        k = qkv[:, d + hd_i * head_dim:d + (hd_i + 1) * head_dim]
-        v = qkv[:, 2 * d + hd_i * head_dim:2 * d + (hd_i + 1) * head_dim]
-        s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+    # Per-head lane slices (Mosaic cannot re-layout a lane-dim split; the
+    # (N, D) -> (H, N, hd) reshape crashes the compiler). Phased so the
+    # scheduler sees independent MXU (scores), VPU (softmax), MXU (P@V)
+    # chains to overlap across heads.
+    def head(off, i):
+        return qkv[:, off + i * head_dim:off + (i + 1) * head_dim]
+
+    scores = [
+        jax.lax.dot_general(
+            head(0, i), head(d, i),
+            dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
+        for i in range(num_heads)
+    ]
+    probs = []
+    for s in scores:
         s = jnp.where(key_mask, s, -jnp.inf)
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
-        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
-        outs.append(jnp.dot(p, v, preferred_element_type=jnp.float32).astype(x.dtype))
+        probs.append((e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype))
+    outs = [
+        jnp.dot(p, head(2 * d, i), preferred_element_type=jnp.float32).astype(x.dtype)
+        for i, p in enumerate(probs)
+    ]
     attn = jnp.concatenate(outs, axis=-1)                     # (N, D)
 
     attn = jnp.dot(attn, wproj_ref[:], preferred_element_type=jnp.float32)
