@@ -209,29 +209,40 @@ class DINOv2ViT(nn.Module):
             tokens = blk(tokens)
         return tokens
 
-    def _use_fused(self, n_tokens: int) -> bool:
-        from ..ops.fused_block import fused_block_supported
+    def _fused_mode(self, n_tokens: int) -> str:
+        from ..ops.fused_block import fused_block_supported, fused_split_supported
 
         if not self.use_fused or self.is_initializing():
-            return False
+            return "off"
         try:
             on_tpu = jax.default_backend() == "tpu"
         except Exception:
             on_tpu = False
-        return on_tpu and fused_block_supported(
-            self.cfg.embed_dim, self.cfg.ffn, n_tokens)
+        if not on_tpu:
+            return "off"
+        if fused_block_supported(self.cfg.embed_dim, self.cfg.ffn, n_tokens):
+            return "single"  # whole block in one kernel (ViT-S/B)
+        # NOTE: the split (attention-half + tiled-MLP) kernels compile for
+        # ViT-L but measured SLOWER than XLA's unfused path (267 vs 199 ms
+        # fwd at batch 128) — the 16-head sequential loop serializes; they
+        # stay available via ops.fused_block.fused_vit_block_split for
+        # future tuning but are not auto-selected.
+        del fused_split_supported
+        return "off"
 
     def __call__(self, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         b, ih, iw, _ = images.shape
         h, w = ih // self.cfg.patch_size, iw // self.cfg.patch_size
         tokens = self.embed(images)
-        if self._use_fused(tokens.shape[1]):
-            # inference-only fused path: one Pallas kernel per block, weights
-            # VMEM-resident (the teacher is frozen; gradients never enter here)
-            from ..ops.fused_block import fused_vit_block
+        mode = self._fused_mode(tokens.shape[1])
+        if mode != "off":
+            # inference-only fused path: Pallas kernels with VMEM-resident
+            # weights (the teacher is frozen; gradients never enter here)
+            from ..ops.fused_block import fused_vit_block, fused_vit_block_split
 
+            apply_block = fused_vit_block if mode == "single" else fused_vit_block_split
             for blk in self.blocks:
-                tokens = fused_vit_block(
+                tokens = apply_block(
                     tokens, blk.variables["params"], num_heads=self.cfg.num_heads)
         else:
             for blk in self.blocks:
