@@ -40,25 +40,75 @@ def resize_nhwc(
     return y.astype(orig_dtype)
 
 
-def interpolate_pos_embed(
-    pos: jnp.ndarray, grid_hw: Tuple[int, int]
-) -> jnp.ndarray:
-    """Bicubically resample ViT patch pos-embeds to a new grid.
+def _torch_bicubic_matrix(in_size: int, out_size: int, scale: float) -> "np.ndarray":
+    """Row-stochastic-ish (out, in) interpolation matrix reproducing torch's
+    ``upsample_bicubic2d`` with ``align_corners=False`` and an *explicit*
+    coordinate scale (``src = scale * (dst + 0.5) - 0.5``).
 
-    ``pos`` is (1, Hp*Wp, D) for a square source grid; returns
-    (1, grid_hw[0]*grid_hw[1], D). Mirrors DINOv2's
-    ``interpolate_pos_encoding`` (bicubic, antialias=False), which the
-    reference pulls in via torch.hub (``models/backbones/dinov2.py:20``).
+    torch's cubic convolution kernel (A = -0.75), access indices clamped to
+    the border (weights accumulate on edge samples, no renormalization) —
+    bitwise-matching ATen's ``cubic_interp1d`` path to fp32 rounding.
+    """
+    import numpy as np
+
+    A = -0.75
+
+    def cubic(x: float) -> float:
+        x = abs(x)
+        if x <= 1.0:
+            return (A + 2.0) * x ** 3 - (A + 3.0) * x ** 2 + 1.0
+        if x < 2.0:
+            return A * x ** 3 - 5.0 * A * x ** 2 + 8.0 * A * x - 4.0 * A
+        return 0.0
+
+    W = np.zeros((out_size, in_size), np.float64)
+    for i in range(out_size):
+        src = scale * (i + 0.5) - 0.5
+        base = int(np.floor(src))
+        t = src - base
+        for off in (-1, 0, 1, 2):
+            idx = min(max(base + off, 0), in_size - 1)
+            W[i, idx] += cubic(t - off)
+    return W.astype(np.float32)
+
+
+def interpolate_pos_embed(
+    pos: jnp.ndarray,
+    grid_hw: Tuple[int, int],
+    interpolate_offset: float = 0.1,
+) -> jnp.ndarray:
+    """Bicubically resample ViT patch pos-embeds to a new grid, reproducing
+    the DINOv2 hub's ``interpolate_pos_encoding`` exactly.
+
+    ``pos`` is (1, Hp*Wp, D) for a square source grid M x M; returns
+    (1, grid_hw[0]*grid_hw[1], D). The hub (reached via
+    ``models/backbones/dinov2.py:20``) resizes with
+    ``F.interpolate(..., mode='bicubic', antialias=False,
+    scale_factor=((h0+0.1)/M, (w0+0.1)/M))`` — the 0.1 ``interpolate_offset``
+    shifts the half-pixel coordinate mapping slightly off ``M/h0``, so a
+    plain resize-to-size differs from the teacher the reference trained
+    against. Implemented as two static matmul contractions (MXU-friendly;
+    the weight matrices are trace-time numpy constants).
     """
     n = pos.shape[1]
     src = int(round(n ** 0.5))
     assert src * src == n, f"pos embed grid is not square: {n}"
     h, w = grid_hw
     if (h, w) == (src, src):
+        # hub fast path: returns pos_embed untouched for the pretrain grid
         return pos
     d = pos.shape[-1]
-    p = pos.reshape(1, src, src, d)
-    p = jax.image.resize(
-        p.astype(jnp.float32), (1, h, w, d), method="bicubic", antialias=False
-    )
+    p = pos.astype(jnp.float32).reshape(src, src, d)
+    if interpolate_offset:
+        # torch derives the coordinate scale from the *given* scale_factor,
+        # not out/in: src = (dst + 0.5) * M/(g + offset) - 0.5
+        scale_h = src / (h + interpolate_offset)
+        scale_w = src / (w + interpolate_offset)
+    else:
+        scale_h = src / h
+        scale_w = src / w
+    wh = jnp.asarray(_torch_bicubic_matrix(src, h, scale_h))
+    ww = jnp.asarray(_torch_bicubic_matrix(src, w, scale_w))
+    p = jnp.einsum("hy,yxd->hxd", wh, p)
+    p = jnp.einsum("wx,hxd->hwd", ww, p)
     return p.reshape(1, h * w, d).astype(pos.dtype)

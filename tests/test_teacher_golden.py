@@ -1,0 +1,185 @@
+"""Activation-level teacher fidelity goldens vs torch DINOv2 block math.
+
+The reference's entire distillation signal flows through the torch-hub
+DINOv2 teacher (``/root/reference/models/backbones/dinov2.py:20``). These
+tests pin the native JAX teacher (models/vit.py) against an independent
+torch re-implementation of the hub's published forward semantics:
+patch-embed conv, ``interpolate_pos_encoding`` with
+``interpolate_offset=0.1`` scale-factor bicubic, pre-norm blocks
+(LN eps 1e-6, qkv attention, LayerScale, exact-erf GELU MLP), final norm,
+CLS dropped. A synthetic hub-layout state dict goes through the real
+importer (``utils/torch_import.map_dinov2_keys``), so any drift in either
+the importer's key/layout mapping or the JAX ops fails here.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from dinov2_distillation_tpu.models.vit import DINOv2ViT, ViTConfig  # noqa: E402
+from dinov2_distillation_tpu.utils.torch_import import (  # noqa: E402
+    apply_mapped_weights,
+    map_dinov2_keys,
+)
+
+DIM, DEPTH, HEADS, POS_GRID, PATCH = 64, 2, 2, 7, 14
+
+
+def make_hub_state(rng, dim=DIM, depth=DEPTH, pos_grid=POS_GRID):
+    """Random weights in the torch-hub DINOv2 state_dict layout."""
+
+    def t(*shape, scale=0.3):
+        return torch.from_numpy(
+            (rng.standard_normal(shape) * scale).astype(np.float32))
+
+    sd = {
+        "cls_token": t(1, 1, dim),
+        "pos_embed": t(1, 1 + pos_grid * pos_grid, dim),
+        "mask_token": t(1, dim),  # importer must skip this
+        "patch_embed.proj.weight": t(dim, 3, PATCH, PATCH, scale=0.05),
+        "patch_embed.proj.bias": t(dim, scale=0.1),
+        "norm.weight": 1.0 + t(dim, scale=0.05),
+        "norm.bias": t(dim, scale=0.05),
+    }
+    for i in range(depth):
+        p = f"blocks.{i}."
+        sd[p + "norm1.weight"] = 1.0 + t(dim, scale=0.05)
+        sd[p + "norm1.bias"] = t(dim, scale=0.05)
+        sd[p + "attn.qkv.weight"] = t(3 * dim, dim, scale=0.08)
+        sd[p + "attn.qkv.bias"] = t(3 * dim, scale=0.05)
+        sd[p + "attn.proj.weight"] = t(dim, dim, scale=0.08)
+        sd[p + "attn.proj.bias"] = t(dim, scale=0.05)
+        sd[p + "ls1.gamma"] = t(dim, scale=0.3)
+        sd[p + "norm2.weight"] = 1.0 + t(dim, scale=0.05)
+        sd[p + "norm2.bias"] = t(dim, scale=0.05)
+        sd[p + "mlp.fc1.weight"] = t(4 * dim, dim, scale=0.08)
+        sd[p + "mlp.fc1.bias"] = t(4 * dim, scale=0.05)
+        sd[p + "mlp.fc2.weight"] = t(dim, 4 * dim, scale=0.08)
+        sd[p + "mlp.fc2.bias"] = t(dim, scale=0.05)
+        sd[p + "ls2.gamma"] = t(dim, scale=0.3)
+    return sd
+
+
+def torch_block(sd, prefix, x, dim=DIM, heads=HEADS):
+    """One pre-norm DINOv2 block: LN -> MHSA -> LayerScale -> residual,
+    LN -> MLP(exact GELU) -> LayerScale -> residual."""
+    p = prefix
+    h = F.layer_norm(x, (dim,), sd[p + "norm1.weight"], sd[p + "norm1.bias"],
+                     eps=1e-6)
+    qkv = F.linear(h, sd[p + "attn.qkv.weight"], sd[p + "attn.qkv.bias"])
+    B, N, _ = qkv.shape
+    hd = dim // heads
+    qkv = qkv.reshape(B, N, 3, heads, hd).permute(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    attn = (q * hd ** -0.5) @ k.transpose(-2, -1)
+    attn = attn.softmax(dim=-1)
+    o = (attn @ v).transpose(1, 2).reshape(B, N, dim)
+    o = F.linear(o, sd[p + "attn.proj.weight"], sd[p + "attn.proj.bias"])
+    x = x + sd[p + "ls1.gamma"] * o
+    h = F.layer_norm(x, (dim,), sd[p + "norm2.weight"], sd[p + "norm2.bias"],
+                     eps=1e-6)
+    h = F.linear(h, sd[p + "mlp.fc1.weight"], sd[p + "mlp.fc1.bias"])
+    h = F.gelu(h)  # exact erf form, torch nn.GELU default
+    h = F.linear(h, sd[p + "mlp.fc2.weight"], sd[p + "mlp.fc2.bias"])
+    return x + sd[p + "ls2.gamma"] * h
+
+
+def torch_forward(sd, images_nhwc, dim=DIM, depth=DEPTH, heads=HEADS,
+                  pos_grid=POS_GRID):
+    """Full hub-semantics forward -> NHWC patch feature map."""
+    x = torch.from_numpy(np.transpose(images_nhwc, (0, 3, 1, 2)))
+    w = F.conv2d(x, sd["patch_embed.proj.weight"],
+                 sd["patch_embed.proj.bias"], stride=PATCH)
+    B, _, gh, gw = w.shape
+    tokens = w.flatten(2).transpose(1, 2)  # (B, N, D)
+    pos = sd["pos_embed"]
+    cls_pos, patch_pos = pos[:, :1], pos[:, 1:]
+    M = pos_grid
+    if (gh, gw) != (M, M):
+        # hub interpolate_pos_encoding: scale-factor bicubic, offset 0.1
+        pp = patch_pos.reshape(1, M, M, dim).permute(0, 3, 1, 2)
+        pp = F.interpolate(
+            pp, scale_factor=((gh + 0.1) / M, (gw + 0.1) / M),
+            mode="bicubic", antialias=False)
+        assert pp.shape[-2:] == (gh, gw)
+        patch_pos = pp.permute(0, 2, 3, 1).reshape(1, gh * gw, dim)
+    cls = sd["cls_token"].expand(B, -1, -1)
+    x = torch.cat([cls, tokens], 1) + torch.cat([cls_pos, patch_pos], 1)
+    for i in range(depth):
+        x = torch_block(sd, f"blocks.{i}.", x, dim, heads)
+    x = F.layer_norm(x, (dim,), sd["norm.weight"], sd["norm.bias"], eps=1e-6)
+    return x[:, 1:].reshape(B, gh, gw, dim).numpy()
+
+
+@pytest.fixture(scope="module")
+def golden_setup():
+    rng = np.random.default_rng(7)
+    sd = make_hub_state(rng)
+    cfg = ViTConfig("golden", DIM, DEPTH, HEADS, pos_grid=POS_GRID)
+    model = DINOv2ViT(cfg, dtype=jnp.float32)
+    x = jnp.zeros((2, 56, 56, 3), jnp.float32)
+    variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x))()
+    np_state = {k: v.numpy() for k, v in sd.items()}
+    mapped = map_dinov2_keys(np_state)
+    params = apply_mapped_weights(variables["params"], mapped, what="golden teacher")
+    return sd, model, {"params": params}
+
+
+def test_importer_maps_every_model_param(golden_setup):
+    """Every flax param path must be covered by the synthetic hub ckpt
+    (missing = silent random weights in the real teacher)."""
+    sd, model, variables = golden_setup
+    np_state = {k: v.numpy() for k, v in sd.items()}
+    mapped = map_dinov2_keys(np_state)
+    from dinov2_distillation_tpu.utils.torch_import import _flatten
+
+    flat = _flatten(variables["params"])
+    missing = [p for p in flat if p not in mapped]
+    assert missing == [], f"unmapped model params: {missing}"
+    bad = [(p, mapped[p].shape, tuple(flat[p].shape)) for p in flat
+           if tuple(mapped[p].shape) != tuple(flat[p].shape)]
+    assert bad == [], f"shape mismatches: {bad}"
+
+
+def test_full_forward_matches_torch(golden_setup, rng):
+    """End-to-end feature_map parity (incl. interpolated pos-embeds) at
+    fp32: |err| must be at bf16-negligible scale."""
+    sd, model, variables = golden_setup
+    images = rng.standard_normal((2, 56, 56, 3)).astype(np.float32)
+    want = torch_forward(sd, images)
+    got = np.asarray(jax.jit(
+        lambda v, x: model.apply(v, x)["feature_map"])(
+            variables, jnp.asarray(images)))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_block_suffix_matches_torch(golden_setup, rng):
+    """forward_blocks (the ScaleKD cascade path) against the torch block
+    math on a CLS-free 16-token sequence."""
+    sd, model, variables = golden_setup
+    tokens = rng.standard_normal((2, 16, DIM)).astype(np.float32)
+    x = torch.from_numpy(tokens)
+    x = torch_block(sd, "blocks.1.", x)
+    want = x.numpy()
+    got = np.asarray(model.apply(
+        variables, jnp.asarray(tokens), 1, 2, method=model.forward_blocks))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_pretrain_grid_skips_interpolation(golden_setup, rng):
+    """At the pretrain grid (pos_grid*14 px) the hub returns pos_embed
+    untouched; ours must too (no resample noise)."""
+    sd, model, variables = golden_setup
+    px = POS_GRID * PATCH
+    images = rng.standard_normal((1, px, px, 3)).astype(np.float32)
+    want = torch_forward(sd, images)
+    got = np.asarray(jax.jit(
+        lambda v, x: model.apply(v, x)["feature_map"])(
+            variables, jnp.asarray(images)))
+    assert got.shape == (1, POS_GRID, POS_GRID, DIM)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
