@@ -67,9 +67,23 @@ def local_batch_size(global_batch_size: int, mesh: Mesh) -> int:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a host-local numpy batch as a globally sharded array."""
+    """Device-put a host-local numpy batch as a globally sharded array.
+
+    Partial final batches (e.g. the 1% val split) are padded up to a
+    data-axis multiple by wrapping samples — the same semantics as torch's
+    ``DistributedSampler`` (used implicitly by the reference's Lightning DDP
+    val loader), which repeats indices so every rank gets an equal count.
+    """
     sharding = batch_sharding(mesh)
-    return jax.tree_util.tree_map(
-        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
-        batch,
-    )
+    n_data = mesh.shape[DATA_AXIS]
+
+    def put(x):
+        x = np.asarray(x)
+        b = x.shape[0]
+        if b % n_data:
+            target = ((b + n_data - 1) // n_data) * n_data
+            reps = np.take(x, np.arange(target) % b, axis=0)
+            x = reps
+        return jax.make_array_from_process_local_data(sharding, x)
+
+    return jax.tree_util.tree_map(put, batch)

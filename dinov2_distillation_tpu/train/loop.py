@@ -33,7 +33,7 @@ from ..utils.checkpoint import DistillCheckpointManager
 from ..utils.logger import get_logger
 from ..utils.metrics import MetricLogger, ThroughputMeter
 from .distill import DistillationModel, build_loss_specs
-from .optim import create_optimizer
+from .optim import create_optimizer, create_plateau_controller, set_lr_scale
 from .state import init_state, make_eval_step, make_train_step
 
 logger = get_logger()
@@ -48,10 +48,25 @@ def _precision_dtype(cfg) -> Any:
 
 
 def _next_version_dir(root: str) -> str:
-    os.makedirs(root, exist_ok=True)
-    existing = [d for d in os.listdir(root) if d.startswith("version_")]
-    nums = [int(d.split("_")[1]) for d in existing if d.split("_")[1].isdigit()]
-    return os.path.join(root, f"version_{max(nums) + 1 if nums else 0}")
+    """Next ``version_N`` under root, agreed across hosts.
+
+    Orbax saves are cross-process collectives, so every host must operate on
+    the SAME directory: host 0 scans the filesystem and the chosen index is
+    broadcast to all hosts (reference analog: Lightning's TensorBoardLogger
+    version pick, ``train.py:243-244``, which rank-broadcasts internally).
+    """
+    from ..parallel import comm
+
+    if comm.is_main_process():
+        os.makedirs(root, exist_ok=True)
+        existing = [d for d in os.listdir(root) if d.startswith("version_")]
+        nums = [int(d.split("_")[1]) for d in existing if d.split("_")[1].isdigit()]
+        version = max(nums) + 1 if nums else 0
+    else:
+        version = -1
+    if comm.get_world_size() > 1:
+        version = int(comm.all_gather(version)[0])
+    return os.path.join(root, f"version_{version}")
 
 
 class DistillationTrainer:
@@ -118,14 +133,29 @@ class DistillationTrainer:
             cfg.optimizer.to_container(), updates_per_epoch, self.accum,
             clip_norm=1.0,  # Lightning gradient_clip_val=1.0 (train.py:267)
         )
+        # ReduceLROnPlateau: host-side controller fed from val metrics
+        # (reference scheduler dict with monitor/frequency,
+        # train/distillation_module.py:495-501)
+        plateau = create_plateau_controller(cfg.optimizer.to_container())
+        if plateau is not None:
+            self.plateau, self.plateau_monitor, self.plateau_frequency = plateau
+            logger.info(
+                f"ReduceLROnPlateau on '{self.plateau_monitor}' "
+                f"every {self.plateau_frequency} epoch(s)")
+        else:
+            self.plateau = None
 
         # --- logging / checkpointing --------------------------------------
         root = log_root or os.path.join("logs", cfg.student.model_name, "distillation")
-        self.log_dir = _next_version_dir(root) if self.is_main else root
+        self.log_dir = _next_version_dir(root)  # host-agreed version_N
         ckpt_cfg = cfg.get("checkpoints", ConfigNode())
         self.monitor = ckpt_cfg.get("monitor", "val_scalekd_res5_spatial_similarity")
+        # config `checkpoints.dirpath` overrides the version-dir default
+        # (reference schema field config/config.yaml:81)
+        self.ckpt_dir = ckpt_cfg.get("dirpath", None) or os.path.join(
+            self.log_dir, "checkpoints")
         self.ckpt = DistillCheckpointManager(
-            os.path.join(self.log_dir, "checkpoints"),
+            self.ckpt_dir,
             monitor=self.monitor,
             mode=ckpt_cfg.get("mode", "max"),
             save_top_k=int(ckpt_cfg.get("save_top_k", 1)),
@@ -220,16 +250,23 @@ class DistillationTrainer:
             return
         self.setup_state()
         path = resume if isinstance(resume, str) and resume not in ("auto", "last") \
-            else os.path.join(self.log_dir, "checkpoints")
-        mgr = self.ckpt if path == os.path.join(self.log_dir, "checkpoints") \
+            else self.ckpt_dir
+        mgr = self.ckpt if path == self.ckpt_dir \
             else DistillCheckpointManager(path, monitor=self.monitor)
-        restored = mgr.restore_last(self.state, {"epoch": 0})
+        extra_tmpl: Dict[str, Any] = {"epoch": 0}
+        if self.plateau:
+            extra_tmpl["plateau"] = self.plateau.state_dict()
+        restored = mgr.restore_last(self.state, extra_tmpl)
         if restored is None:
             logger.warning(f"No checkpoint found to resume from at {path}")
             return
         step, state, extra = restored
         self.state = jax.device_put(state, replicated(self.mesh))
         self.start_epoch = int(extra.get("epoch", 0)) + 1
+        if self.plateau and "plateau" in extra:
+            # opt-state scale came back with the checkpoint; the controller's
+            # best/patience counters ride the extra dict
+            self.plateau.load_state_dict(extra["plateau"])
         logger.info(f"Resumed at step {step}, starting epoch {self.start_epoch}")
 
     # --- epoch loops --------------------------------------------------------
@@ -249,7 +286,8 @@ class DistillationTrainer:
             self.state, metrics = self.train_step(self.state, global_batch)
             if (i + 1) % self.log_every == 0 or i == len(self.train_loader) - 1:
                 host = {f"train_{k}": float(v) for k, v in metrics.items()}
-                host["lr"] = float(self.schedule(self._opt_step()))
+                host["lr"] = float(self.schedule(self._opt_step())) * (
+                    self.plateau.scale if self.plateau else 1.0)
                 host["epoch"] = epoch
                 if meter.steps_measured > 0:
                     host["images_per_sec"] = meter.images_per_sec
@@ -288,6 +326,27 @@ class DistillationTrainer:
             f"{k}={v:.4f}" for k, v in sorted(val.items()) if k != "epoch"))
         return val
 
+    def _plateau_step(self, epoch: int, val_metrics: Dict[str, float]) -> None:
+        """Feed the monitored val metric to ReduceLROnPlateau every
+        ``frequency`` epochs and push any new LR scale into the opt state."""
+        if not self.plateau or not val_metrics:
+            return
+        if (epoch + 1) % self.plateau_frequency != 0:
+            return
+        value = val_metrics.get(self.plateau_monitor)
+        if value is None:
+            logger.warning(
+                f"ReduceLROnPlateau monitor '{self.plateau_monitor}' not in "
+                f"val metrics; available: {sorted(val_metrics)}")
+            return
+        old = self.plateau.scale
+        new = self.plateau.step(float(value))
+        if new != old:
+            logger.info(f"ReduceLROnPlateau: LR scale {old:g} -> {new:g} "
+                        f"({self.plateau_monitor}={value:.5f})")
+            self.state = self.state.replace(
+                opt_state=set_lr_scale(self.state.opt_state, new))
+
     def fit(self) -> Dict[str, float]:
         self.maybe_resume()
         self.setup_state()
@@ -297,9 +356,13 @@ class DistillationTrainer:
             t0 = time.time()
             self.train_epoch(epoch)
             val_metrics = self.validate(epoch)
+            self._plateau_step(epoch, val_metrics)
             if val_metrics:
+                extra = {"epoch": epoch}
+                if self.plateau:
+                    extra["plateau"] = self.plateau.state_dict()
                 self.ckpt.save(int(self.state.step), self.state, val_metrics,
-                               extra={"epoch": epoch})
+                               extra=extra)
             logger.info(f"epoch {epoch} done in {time.time() - t0:.1f}s")
         self.ckpt.wait()
         self.metrics.close()

@@ -19,12 +19,135 @@ when ``interval: step``.
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import optax
 
 Schedule = Callable[[int], float]
+
+
+class HostLRScaleState(NamedTuple):
+    """Opt-state leaf holding a host-controlled LR multiplier.
+
+    ``ReduceLROnPlateau`` is inherently host-driven (it reacts to validation
+    metrics between epochs), so instead of threading the metric into the
+    jitted step, the update is scaled by this state scalar and the host
+    rewrites it at epoch boundaries (``set_lr_scale``). Scaling the final
+    update (gradient term + decoupled weight decay) is exactly what scaling
+    ``lr`` does in torch AdamW.
+    """
+
+    scale: jnp.ndarray
+
+
+def host_lr_scale() -> optax.GradientTransformation:
+    def init_fn(params):
+        del params
+        return HostLRScaleState(jnp.asarray(1.0, jnp.float32))
+
+    def update_fn(updates, state, params=None):
+        del params
+        scaled = jax.tree_util.tree_map(
+            lambda u: u * state.scale.astype(u.dtype), updates)
+        return scaled, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _is_scale_leaf(x) -> bool:
+    return isinstance(x, HostLRScaleState)
+
+
+def get_lr_scale(opt_state) -> float:
+    """Read the plateau LR multiplier out of an opt state (1.0 if absent)."""
+    vals = [
+        float(leaf.scale) for leaf in jax.tree_util.tree_leaves(
+            opt_state, is_leaf=_is_scale_leaf) if _is_scale_leaf(leaf)
+    ]
+    return vals[0] if vals else 1.0
+
+
+def set_lr_scale(opt_state, scale: float):
+    """Return a copy of ``opt_state`` with the plateau multiplier replaced."""
+    def repl(x):
+        if _is_scale_leaf(x):
+            return HostLRScaleState(jnp.asarray(scale, jnp.float32))
+        return x
+
+    return jax.tree_util.tree_map(repl, opt_state, is_leaf=_is_scale_leaf)
+
+
+class PlateauController:
+    """Host-side ``ReduceLROnPlateau`` with torch semantics
+    (torch.optim.lr_scheduler.ReduceLROnPlateau; reference resolves it by
+    name at ``train/distillation_module.py:484-487`` and wires
+    ``monitor``/``frequency`` at ``:495-501``).
+
+    ``step(value)`` consumes the monitored validation metric and returns the
+    current LR multiplier (product of ``factor`` reductions, floored at
+    ``min_lr / base_lr``).
+    """
+
+    def __init__(self, kwargs: Dict[str, Any], base_lr: float):
+        kw = dict(kwargs or {})
+        self.mode = str(kw.get("mode", "min"))
+        self.factor = float(kw.get("factor", 0.1))
+        self.patience = int(kw.get("patience", 10))
+        self.threshold = float(kw.get("threshold", 1e-4))
+        self.threshold_mode = str(kw.get("threshold_mode", "rel"))
+        self.cooldown = int(kw.get("cooldown", 0))
+        self.min_lr = float(kw.get("min_lr", 0.0))
+        self.base_lr = float(base_lr)
+        if self.mode not in ("min", "max"):
+            raise KeyError(f"ReduceLROnPlateau mode must be min|max, got {self.mode!r}")
+        if self.threshold_mode not in ("rel", "abs"):
+            raise KeyError(
+                f"ReduceLROnPlateau threshold_mode must be rel|abs, got {self.threshold_mode!r}")
+        self.best = math.inf if self.mode == "min" else -math.inf
+        self.num_bad_epochs = 0
+        self.cooldown_counter = 0
+        self.scale = 1.0
+
+    def _is_better(self, a: float) -> bool:
+        if self.mode == "min":
+            if self.threshold_mode == "rel":
+                return a < self.best * (1.0 - self.threshold)
+            return a < self.best - self.threshold
+        if self.threshold_mode == "rel":
+            return a > self.best * (1.0 + self.threshold)
+        return a > self.best + self.threshold
+
+    def step(self, value: float) -> float:
+        if self._is_better(value):
+            self.best = value
+            self.num_bad_epochs = 0
+        else:
+            self.num_bad_epochs += 1
+        if self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.num_bad_epochs = 0
+        if self.num_bad_epochs > self.patience:
+            floor = self.min_lr / self.base_lr if self.base_lr > 0 else 0.0
+            self.scale = max(self.scale * self.factor, floor)
+            self.cooldown_counter = self.cooldown
+            self.num_bad_epochs = 0
+        return self.scale
+
+    def state_dict(self) -> Dict[str, Any]:
+        return {
+            "best": self.best,
+            "num_bad_epochs": self.num_bad_epochs,
+            "cooldown_counter": self.cooldown_counter,
+            "scale": self.scale,
+        }
+
+    def load_state_dict(self, sd: Dict[str, Any]) -> None:
+        self.best = float(sd.get("best", self.best))
+        self.num_bad_epochs = int(sd.get("num_bad_epochs", 0))
+        self.cooldown_counter = int(sd.get("cooldown_counter", 0))
+        self.scale = float(sd.get("scale", 1.0))
 
 
 def _build_scheduler(
@@ -87,6 +210,21 @@ def _build_scheduler(
         def fn(step):
             return base_lr * jnp.where(epoch_of(step) < total, factor, 1.0)
 
+    elif stype == "ReduceLROnPlateau":
+        # Host-driven: the schedule is flat at base_lr; the reduction factor
+        # is a HostLRScaleState multiplier the trainer updates from val
+        # metrics via a PlateauController (see class docstring).
+        def fn(step):
+            return base_lr
+
+    elif stype == "PolynomialLR":
+        total = int(kw.get("total_iters", 5))
+        power = float(kw.get("power", 1.0))
+
+        def fn(step):
+            e = jnp.minimum(epoch_of(step), total)
+            return base_lr * (1.0 - e / total) ** power
+
     elif stype == "CosineAnnealingWarmRestarts":
         t0 = int(kw["T_0"])
         t_mult = int(kw.get("T_mult", 1))
@@ -145,6 +283,30 @@ def _build_base_optimizer(otype: str, kw: Dict[str, Any], schedule: Schedule):
         )
     if otype == "Adagrad":
         return optax.adagrad(learning_rate=lr, eps=float(kw.get("eps", 1e-10)))
+    if otype == "Adadelta":
+        return optax.adadelta(
+            learning_rate=lr, rho=float(kw.get("rho", 0.9)),
+            eps=float(kw.get("eps", 1e-6)),
+            weight_decay=float(kw.get("weight_decay", 0.0)),
+        )
+    if otype == "Adamax":
+        betas = kw.get("betas", (0.9, 0.999))
+        return optax.adamax(
+            learning_rate=lr, b1=float(betas[0]), b2=float(betas[1]),
+            eps=float(kw.get("eps", 1e-8)),
+        )
+    if otype == "NAdam":
+        betas = kw.get("betas", (0.9, 0.999))
+        return optax.nadam(
+            learning_rate=lr, b1=float(betas[0]), b2=float(betas[1]),
+            eps=float(kw.get("eps", 1e-8)),
+        )
+    if otype == "RAdam":
+        betas = kw.get("betas", (0.9, 0.999))
+        return optax.radam(
+            learning_rate=lr, b1=float(betas[0]), b2=float(betas[1]),
+            eps=float(kw.get("eps", 1e-8)),
+        )
     raise KeyError(f"Unsupported optimizer type: {otype!r}")
 
 
@@ -161,12 +323,34 @@ def create_optimizer(
     """
     kw = dict(opt_cfg.get("kwargs", {}) or {})
     base_lr = float(kw.get("lr", 1e-3))
-    schedule = _build_scheduler(opt_cfg.get("scheduler"), base_lr, updates_per_epoch)
+    sched_cfg = opt_cfg.get("scheduler")
+    schedule = _build_scheduler(sched_cfg, base_lr, updates_per_epoch)
 
-    tx = optax.chain(
+    parts = [
         optax.clip_by_global_norm(clip_norm),
         _build_base_optimizer(opt_cfg["type"], kw, schedule),
-    )
+    ]
+    if sched_cfg and sched_cfg.get("type") == "ReduceLROnPlateau":
+        parts.append(host_lr_scale())
+    tx = optax.chain(*parts)
     if accumulate_grad_batches > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulate_grad_batches)
     return tx, schedule
+
+
+def create_plateau_controller(
+    opt_cfg: Dict[str, Any],
+) -> Optional[Tuple[PlateauController, str, int]]:
+    """(controller, monitor, frequency) when the config asks for
+    ReduceLROnPlateau, else None. ``monitor`` defaults to ``val_loss`` and
+    ``frequency`` to 1, like Lightning's lr_scheduler config dict
+    (reference ``train/distillation_module.py:495-501``)."""
+    sched = opt_cfg.get("scheduler")
+    if not sched or sched.get("type") != "ReduceLROnPlateau":
+        return None
+    kw = dict(opt_cfg.get("kwargs", {}) or {})
+    base_lr = float(kw.get("lr", 1e-3))
+    controller = PlateauController(sched.get("kwargs", {}), base_lr)
+    monitor = str(sched.get("monitor", "val_loss"))
+    frequency = int(sched.get("frequency", 1))
+    return controller, monitor, frequency

@@ -1,0 +1,157 @@
+"""DistillationTrainer integration: fit() end-to-end on the CPU mesh,
+version-dir layout, checkpoint best+last, resume, metrics.jsonl, and the
+ReduceLROnPlateau host controller.
+
+Covers the orchestration the reference delegated to Lightning
+(``/root/reference/train.py:243-287``): version_N log dirs, ModelCheckpoint
+(monitor/max/save_last), ckpt_path resume, and the lr_scheduler config dict
+with monitor/frequency (``train/distillation_module.py:495-501``).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from dinov2_distillation_tpu.config import load_config
+from dinov2_distillation_tpu.train.loop import DistillationTrainer
+from dinov2_distillation_tpu.train.optim import (
+    PlateauController,
+    create_optimizer,
+    create_plateau_controller,
+    get_lr_scale,
+    set_lr_scale,
+)
+
+MONITOR = "val_scalekd_res5_spatial_similarity"
+
+
+def _smoke_cfg(overrides):
+    return load_config(
+        os.path.join(os.path.dirname(__file__), "..", "configs", "smoke.yaml"),
+        overrides=overrides)
+
+
+@pytest.fixture(scope="module")
+def fitted(tmp_path_factory):
+    """One epoch of fit() on synthetic data; shared by the assertions."""
+    log_root = str(tmp_path_factory.mktemp("logs"))
+    cfg = _smoke_cfg([
+        "train.max_epochs=1",
+        "data_loader.synthetic_size=128",
+        "train.log_every_n_steps=1",
+    ])
+    trainer = DistillationTrainer(cfg, log_root=log_root)
+    val_metrics = trainer.fit()
+    return trainer, val_metrics, log_root
+
+
+def test_fit_runs_and_returns_monitor(fitted):
+    trainer, val_metrics, _ = fitted
+    assert MONITOR in val_metrics
+    assert np.isfinite(val_metrics[MONITOR])
+
+
+def test_version_dir_layout(fitted):
+    trainer, _, log_root = fitted
+    assert trainer.log_dir == os.path.join(log_root, "version_0")
+    assert os.path.isdir(trainer.log_dir)
+
+
+def test_checkpoints_best_and_last_written(fitted):
+    trainer, _, _ = fitted
+    ckpt = trainer.ckpt_dir
+    assert ckpt == os.path.join(trainer.log_dir, "checkpoints")
+    assert trainer.ckpt.best_step() is not None
+    # orbax step dirs exist under best/ and last/
+    for sub in ("best", "last"):
+        steps = [d for d in os.listdir(os.path.join(ckpt, sub)) if d.isdigit()]
+        assert steps, f"no checkpoint steps under {sub}/"
+
+
+def test_metrics_jsonl_contains_monitored_key(fitted):
+    trainer, _, _ = fitted
+    path = os.path.join(trainer.log_dir, "metrics.jsonl")
+    assert os.path.isfile(path)
+    records = [json.loads(line) for line in open(path)]
+    assert any(MONITOR.replace("val_", "val_") in r for r in records
+               for r in [r]), records
+    keys = set().union(*[set(r) for r in records])
+    assert MONITOR in keys
+    assert "train_loss" in keys
+    assert "lr" in keys
+
+
+def test_resume_continues_from_checkpoint(fitted, tmp_path):
+    """A second trainer pointed at the first run's dirpath (checkpoints.dirpath
+    override honored) resumes at epoch 1 without re-init and completes."""
+    prev, _, _ = fitted
+    cfg = _smoke_cfg([
+        "train.max_epochs=2",
+        "data_loader.synthetic_size=128",
+        "train.resume_from_checkpoint=last",
+        f"checkpoints.dirpath={prev.ckpt_dir}",
+    ])
+    trainer = DistillationTrainer(cfg, log_root=str(tmp_path / "logs2"))
+    assert trainer.ckpt_dir == prev.ckpt_dir  # dirpath override honored
+    trainer.maybe_resume()
+    assert trainer.start_epoch == 1, "resume must continue after saved epoch 0"
+    assert int(trainer.state.step) > 0, "optimizer step counter must be restored"
+    val = trainer.fit()  # trains only epoch 1
+    assert MONITOR in val
+
+
+def test_plateau_controller_matches_torch():
+    """Drive our controller and torch ReduceLROnPlateau with the same value
+    sequence; LR multipliers must agree at every step."""
+    torch = pytest.importorskip("torch")
+    kwargs = dict(mode="min", factor=0.5, patience=1, threshold=1e-4,
+                  threshold_mode="rel", cooldown=1, min_lr=1e-5)
+    base_lr = 1e-3
+    ours = PlateauController(kwargs, base_lr)
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=base_lr)
+    theirs = torch.optim.lr_scheduler.ReduceLROnPlateau(opt, **kwargs)
+    values = [1.0, 0.9, 0.9, 0.9, 0.9, 0.5, 0.5, 0.5, 0.5, 0.49, 0.6,
+              0.6, 0.6, 0.6, 0.6, 0.6, 0.6]
+    for i, v in enumerate(values):
+        scale = ours.step(v)
+        theirs.step(v)
+        torch_lr = opt.param_groups[0]["lr"]
+        assert scale * base_lr == pytest.approx(torch_lr, rel=1e-9), (
+            f"step {i}: ours {scale * base_lr} vs torch {torch_lr}")
+
+
+def test_plateau_opt_state_roundtrip():
+    """host_lr_scale is discoverable/settable through MultiSteps nesting."""
+    opt_cfg = {
+        "type": "AdamW",
+        "kwargs": {"lr": 1e-3},
+        "scheduler": {"type": "ReduceLROnPlateau",
+                      "kwargs": {"factor": 0.1}, "monitor": "val_loss"},
+    }
+    tx, schedule = create_optimizer(opt_cfg, updates_per_epoch=10,
+                                    accumulate_grad_batches=2)
+    params = {"w": np.zeros((3,), np.float32)}
+    state = tx.init(params)
+    assert get_lr_scale(state) == 1.0
+    state = set_lr_scale(state, 0.1)
+    assert get_lr_scale(state) == pytest.approx(0.1)
+    # the scaled update actually shrinks
+    import jax.numpy as jnp
+    grads = {"w": jnp.ones((3,), jnp.float32)}
+    u1, _ = tx.update(grads, tx.init(params), params)
+    u2, _ = tx.update(grads, set_lr_scale(tx.init(params), 0.1), params)
+    # MultiSteps with k=2 emits zero updates on the first micro-step; compare
+    # the inner mini-step by unwrapping is overkill — use k=1 config instead
+    tx1, _ = create_optimizer(opt_cfg, updates_per_epoch=10)
+    s1 = tx1.init(params)
+    u1, _ = tx1.update(grads, s1, params)
+    u2, _ = tx1.update(grads, set_lr_scale(s1, 0.1), params)
+    np.testing.assert_allclose(np.asarray(u2["w"]),
+                               0.1 * np.asarray(u1["w"]), rtol=1e-6)
+    ctl = create_plateau_controller(opt_cfg)
+    assert ctl is not None
+    controller, monitor, freq = ctl
+    assert monitor == "val_loss" and freq == 1
