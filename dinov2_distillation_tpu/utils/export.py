@@ -105,6 +105,8 @@ def _load_inverse_registry():
         "efficientnet": T.inverse_efficientnet,
         "mobilenet_v3_small": T.make_mobilenet_v3_translator("small")[1],
         "mobilenet_v3_large": T.make_mobilenet_v3_translator("large")[1],
+        "mobilenetv3_small": T.make_timm_mobilenetv3_translator("small")[1],
+        "mobilenetv3_large": T.make_timm_mobilenetv3_translator("large")[1],
     })
 
 

@@ -314,11 +314,9 @@ def get_translator(model_name: str):
         v = _VARIANTS[model_name]
         return fam, T.make_edgenext_translator(v["depths"], (0, 1, 1, 1))
     if fam == "mobilenetv3":
-        raise NotImplementedError(
-            "timm-format mobilenetv3_* checkpoints are not yet importable "
-            "(the reference pulled these weights from the network via timm); "
-            "use the torchvision-layout mobilenet_v3_* variants for init "
-            "checkpoints, or train from scratch.")
+        # timm-format layout (reference models/backbones/timm.py:270-274)
+        size = "small" if "small" in model_name else "large"
+        return fam, T.make_timm_mobilenetv3_translator(size)[0]
     translator = _TRANSLATORS.get(fam)
     if translator is None:
         raise NotImplementedError(

@@ -709,3 +709,141 @@ def make_edgenext_translator(depths, global_blocks):
         return None
 
     return translate
+
+
+# --------------------------------------------------------------------------
+# timm-format MobileNetV3 (reference served these via timm pretrained
+# weights, models/backbones/timm.py:270-274; names timm_wrapper.py:16-21).
+# torch (timm): conv_stem.weight, bn1.*; blocks.{s}.{j}.{...} where the
+#   stages group the SAME flat bneck sequence as the torchvision table
+#   (small depths [1,2,3,2,3], large [1,2,3,4,2,3]) plus a trailing
+#   ConvBnAct stage (the 1x1 head conv); block 0 is DepthwiseSeparableConv
+#   (conv_dw/bn1, se, conv_pw/bn2 — no expand), the rest InvertedResidual
+#   (conv_pw/bn1 expand, conv_dw/bn2, se.conv_{reduce,expand}, conv_pwl/bn3).
+# flax: the torchvision-layout trunk (models/backbones/mobilenet_v3.py) —
+#   stem_conv/stem_bn, block_{i}/{expand,dw,project}_{conv,bn} + se/fc{1,2},
+#   lastconv/lastconv_bn.
+# Note: timm BNs use eps 1e-5 vs the trunk's torchvision 1e-3 — a negligible
+# inference delta for trained running_vars, documented here for the record.
+# --------------------------------------------------------------------------
+
+_TIMM_MNV3_DEPTHS = {"small": [1, 2, 3, 2, 3], "large": [1, 2, 3, 4, 2, 3]}
+
+
+def make_timm_mobilenetv3_translator(size: str):
+    from ..models.backbones.mobilenet_v3 import _conf
+
+    blocks, _last = _conf(size, False)
+    layouts = [
+        _mnv3_block_submodules(b.expanded != b.in_ch, b.use_se) for b in blocks
+    ]
+    depths = _TIMM_MNV3_DEPTHS[size]
+    assert sum(depths) == len(blocks)
+    conv_stage = len(depths)  # trailing ConvBnAct stage index
+    # (stage, j) -> flat block index and back
+    flat_of = {}
+    starts = []
+    i = 0
+    for s, d in enumerate(depths):
+        starts.append(i)
+        for j in range(d):
+            flat_of[(s, j)] = i
+            i += 1
+
+    # timm submodule names per position in our layout list
+    def timm_names(layout):
+        # ds block: dw->(conv_dw,bn1), se, project->(conv_pw,bn2)
+        # ir block: expand->(conv_pw,bn1), dw->(conv_dw,bn2), se,
+        #           project->(conv_pwl,bn3)
+        names = {}
+        if "expand" in layout:
+            names["expand"] = ("conv_pw", "bn1")
+            names["dw"] = ("conv_dw", "bn2")
+            names["project"] = ("conv_pwl", "bn3")
+        else:
+            names["dw"] = ("conv_dw", "bn1")
+            names["project"] = ("conv_pw", "bn2")
+        return names
+
+    def translate(key: str):
+        if key == "conv_stem.weight":
+            return ("params", ("stem_conv", "kernel"), _conv_kernel)
+        m = re.match(r"bn1\.(.+)", key)
+        if m:
+            hit = _bn_leaf(m.group(1))
+            if hit:
+                return (hit[0], ("stem_bn", hit[1]), None)
+            return None
+        m = re.match(r"blocks\.(\d+)\.(\d+)\.(.+)", key)
+        if not m:
+            return None
+        s, j, rest = int(m.group(1)), int(m.group(2)), m.group(3)
+        if s == conv_stage:
+            if rest == "conv.weight":
+                return ("params", ("lastconv", "kernel"), _conv_kernel)
+            m2 = re.match(r"bn1\.(.+)", rest)
+            if m2:
+                hit = _bn_leaf(m2.group(1))
+                if hit:
+                    return (hit[0], ("lastconv_bn", hit[1]), None)
+            return None
+        if (s, j) not in flat_of:
+            return None
+        bi = flat_of[(s, j)]
+        layout = layouts[bi]
+        base = (f"block_{bi}",)
+        m2 = re.match(r"se\.conv_(reduce|expand)\.(weight|bias)", rest)
+        if m2 and "se" in layout:
+            fc = "fc1" if m2.group(1) == "reduce" else "fc2"
+            return ("params", base + ("se", fc,
+                                      "kernel" if m2.group(2) == "weight" else "bias"),
+                    _conv_kernel if m2.group(2) == "weight" else None)
+        names = timm_names(layout)
+        for mod, (conv_name, bn_name) in names.items():
+            if rest == f"{conv_name}.weight":
+                return ("params", base + (f"{mod}_conv", "kernel"), _conv_kernel)
+            m2 = re.match(rf"{bn_name}\.(.+)", rest)
+            if m2:
+                hit = _bn_leaf(m2.group(1))
+                if hit:
+                    return (hit[0], base + (f"{mod}_bn", hit[1]), None)
+        return None
+
+    def stage_of(bi: int):
+        for s in range(len(depths) - 1, -1, -1):
+            if bi >= starts[s]:
+                return s, bi - starts[s]
+        raise IndexError(bi)
+
+    def inverse(path: Tuple[str, ...], collection: str) -> Optional[str]:
+        p0 = path[0]
+        if p0 == "stem_conv":
+            return "conv_stem.weight"
+        if p0 == "stem_bn":
+            return f"bn1.{_BN_INV[path[1]]}"
+        if p0 == "lastconv":
+            return f"blocks.{conv_stage}.0.conv.weight"
+        if p0 == "lastconv_bn":
+            return f"blocks.{conv_stage}.0.bn1.{_BN_INV[path[1]]}"
+        m = re.match(r"block_(\d+)", p0)
+        if not m:
+            return None
+        bi = int(m.group(1))
+        s, j = stage_of(bi)
+        layout = layouts[bi]
+        prefix = f"blocks.{s}.{j}"
+        sub = path[1]
+        if sub == "se":
+            red = "reduce" if path[2] == "fc1" else "expand"
+            leaf = "weight" if path[3] == "kernel" else "bias"
+            return f"{prefix}.se.conv_{red}.{leaf}"
+        names = timm_names(layout)
+        mod = sub.rsplit("_", 1)[0]
+        if mod not in names:
+            return None
+        conv_name, bn_name = names[mod]
+        if sub.endswith("_conv"):
+            return f"{prefix}.{conv_name}.weight"
+        return f"{prefix}.{bn_name}.{_BN_INV[path[2]]}"
+
+    return translate, inverse

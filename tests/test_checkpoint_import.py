@@ -143,6 +143,8 @@ _ROUNDTRIP_CASES = [
     ("mit_b0", "mit"),
     ("mobilenet_v2", "mobilenet_v2"),
     ("mobilenet_v3_small", "mobilenet_v3_small"),
+    ("mobilenetv3_small_100", "mobilenetv3_small"),
+    ("mobilenetv3_large_075", "mobilenetv3_large"),
     ("presnet_18", "presnet"),
     ("presnet_50", "presnet"),
     ("swin_tiny", "swin"),
