@@ -228,13 +228,12 @@ class AttentionProjector(nn.Module):
         s = nn.Conv(self.teacher_dim, (1, 1), dtype=self.dtype, name="proj_conv")(
             x.astype(self.dtype)
         )
-        s = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=self.dtype,  # moments reduce in fp32 inside flax
-            name="proj_bn",
-        )(s)
+        # BN honors the per-replica/sync scope flag like every student BN
+        # (the projector is part of the optimized model, so DDP would have
+        # given it per-replica stats too)
+        from ..models.backbones.common import batch_norm
+
+        s = batch_norm(train, name="proj_bn", dtype=self.dtype)(s)
         s = nn.relu(s)
 
         pos_embed = self.param(

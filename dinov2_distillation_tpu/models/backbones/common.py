@@ -14,10 +14,85 @@ from __future__ import annotations
 from typing import Any, Callable, Optional, Tuple, Union
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 _BN_MOMENTUM = 0.9  # torch BatchNorm2d default momentum 0.1 -> flax momentum 0.9
 _BN_EPS = 1e-5
+
+# --- BN statistics scope ----------------------------------------------------
+# The reference trains non-timm students with PER-REPLICA BatchNorm (each
+# GPU normalizes its local batch; only timm students get SyncBN —
+# models/backbones/timm.py:273-274). Under jit with a data-sharded batch,
+# plain flax BatchNorm reduces moments over the GLOBAL batch (sync-BN).
+# ``set_bn_groups(G)`` switches every subsequently *constructed* student BN
+# to grouped moments over G equal batch slices — with G = the data-parallel
+# degree and shard-aligned slicing this reproduces the reference's
+# per-replica semantics exactly, deterministically, and (on real meshes)
+# without any cross-device moment reduction. G=1 (default) is sync-BN.
+# NOTE: this is build-time state — set it BEFORE constructing models, and
+# never change it between traces of the same jitted function.
+_BN_GROUPS = 1
+
+
+def set_bn_groups(groups: int) -> None:
+    global _BN_GROUPS
+    _BN_GROUPS = max(1, int(groups))
+
+
+def get_bn_groups() -> int:
+    return _BN_GROUPS
+
+
+class GroupedBatchNorm(nn.Module):
+    """BatchNorm with moments computed per batch group (virtual replicas).
+
+    Parameter/stat tree is identical to ``nn.BatchNorm`` (scale/bias params,
+    mean/var batch_stats), so checkpoints are interchangeable between modes.
+    Running stats are the group-mean of the per-group moments (torch DDP
+    keeps independent per-replica EMAs and checkpoints rank 0's; averaging
+    is the deterministic equivalent).
+    """
+
+    use_running_average: bool
+    groups: int = 1
+    momentum: float = _BN_MOMENTUM
+    epsilon: float = _BN_EPS
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        if self.use_running_average:
+            mean = ra_mean.value
+            var = ra_var.value
+            inv = jax.lax.rsqrt(var + self.epsilon) * scale
+            y = x.astype(self.dtype) * inv.astype(self.dtype) + (
+                bias - mean * inv).astype(self.dtype)
+            return y
+
+        g = self.groups
+        b = x.shape[0]
+        assert b % g == 0, f"batch {b} not divisible by bn groups {g}"
+        xg = x.reshape(g, b // g, *x.shape[1:]).astype(jnp.float32)
+        red = tuple(range(1, xg.ndim - 1))  # (sub-batch, spatial...)
+        gmean = jnp.mean(xg, axis=red)                       # (G, C)
+        gvar = jnp.mean(jnp.square(xg), axis=red) - jnp.square(gmean)
+        if not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1 - m) * jnp.mean(gmean, 0)
+            ra_var.value = m * ra_var.value + (1 - m) * jnp.mean(gvar, 0)
+        shape = (g, 1) + (1,) * (xg.ndim - 3) + (-1,)
+        inv = jax.lax.rsqrt(gvar + self.epsilon) * scale
+        y = xg * inv.reshape(shape) + (bias - gmean * inv).reshape(shape)
+        return y.reshape(x.shape).astype(self.dtype)
 
 
 def torch_padding(kernel: Union[int, Tuple[int, int]], padding: Union[int, Tuple[int, int]]):
@@ -55,24 +130,25 @@ class ConvBN(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=_BN_MOMENTUM,
-            epsilon=_BN_EPS,
-            dtype=self.dtype,  # stats still reduce in fp32 inside flax
-            name="bn",
-        )(x)
+        x = batch_norm(train, name="bn", dtype=self.dtype)(x)
         if self.act is not None:
             x = self.act(x)
         return x
 
 
 def batch_norm(train: bool, name: str = "bn", epsilon: float = _BN_EPS,
-               momentum: float = _BN_MOMENTUM, dtype: Any = jnp.bfloat16) -> nn.BatchNorm:
+               momentum: float = _BN_MOMENTUM, dtype: Any = jnp.bfloat16):
     """BatchNorm cell. ``dtype`` is the compute/output dtype; flax computes
     the batch moments in fp32 regardless, and the running stats live in
     fp32 params — keeping the (B, H, W, C) activation traffic in bf16
-    halves the HBM cost of every BN in the CNN students."""
+    halves the HBM cost of every BN in the CNN students.
+
+    Honors ``set_bn_groups``: G>1 returns the grouped (per-virtual-replica)
+    variant with an identical param/stat tree."""
+    if _BN_GROUPS > 1:
+        return GroupedBatchNorm(
+            use_running_average=not train, groups=_BN_GROUPS,
+            momentum=momentum, epsilon=epsilon, dtype=dtype, name=name)
     return nn.BatchNorm(
         use_running_average=not train,
         momentum=momentum,

@@ -113,6 +113,17 @@ class DistillationTrainer:
                     f"val={len(self.val_loader)} (global batch {self.global_batch})")
 
         # --- models --------------------------------------------------------
+        # BN statistics scope (reference: per-replica BN for non-timm
+        # students, SyncBN only for timm — models/backbones/timm.py:273-274).
+        # Default sync (global-batch) BN; `train.sync_bn: false` restores
+        # per-replica semantics via grouped moments (one group per data
+        # shard), with no cross-device moment reduction.
+        from ..models.backbones.common import set_bn_groups
+
+        self.sync_bn = bool(cfg.train.get("sync_bn", True))
+        set_bn_groups(1 if self.sync_bn else n_data)
+        if not self.sync_bn:
+            logger.info(f"Per-replica BatchNorm: {n_data} stat groups")
         self.teacher = create_teacher(cfg.teacher.model_name, dtype=self.dtype)
         self.student, self.feature_channels = create_student(
             cfg.student.model_name, cfg.teacher.n_patches,
