@@ -38,6 +38,90 @@ from dinov2_distillation_tpu.train.state import init_state, make_train_step
 BASELINE_IMG_PER_SEC_PER_CHIP = 635.0 / 2  # reference: 2x GPU DDP, run.ipynb
 
 
+def ensure_corpus(dirpath: str, n: int, size=(500, 375)) -> None:
+    """Synthesize a JPEG corpus once (smooth low-frequency images — realistic
+    compression/decode cost, unlike white noise which bloats JPEG)."""
+    import os
+
+    from PIL import Image
+
+    os.makedirs(dirpath, exist_ok=True)
+    have = len([f for f in os.listdir(dirpath) if f.endswith(".jpg")])
+    if have >= n:
+        return
+    rng = np.random.default_rng(1234)
+    for i in range(have, n):
+        low = rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+        img = Image.fromarray(low).resize(size, Image.BILINEAR)
+        img.save(os.path.join(dirpath, f"img_{i:05d}.jpg"), quality=90)
+
+
+def run_e2e(args, cfg, mesh, state, step, global_batch: int, crop: int) -> int:
+    """Loader-fed throughput: native JPEG decode -> uint8 staging frames ->
+    device-side augmentation under jit -> train step. Measures the SYSTEM
+    (host pipeline + chip), vs the default bench which pre-stages device
+    arrays and measures the chip alone. Reference counterpart: its 1.24 it/s
+    includes the torch DataLoader (datasets/CustomDataset.py:156-182)."""
+    from dinov2_distillation_tpu.data.augment import StagingTransform
+    from dinov2_distillation_tpu.data.dataset import ImageFolderDataset
+    from dinov2_distillation_tpu.data.device_augment import augment_batch
+    from dinov2_distillation_tpu.data.loader import DataLoader
+    from dinov2_distillation_tpu.parallel.mesh import shard_batch
+
+    corpus = "/tmp/dkt_bench_corpus"
+    ensure_corpus(corpus, n=max(2 * global_batch, 1024))
+    staging = int(cfg.data_loader.get("staging_size", 256))
+    transform = StagingTransform(staging_size=staging)
+    loader = DataLoader(
+        ImageFolderDataset([corpus]), transform, batch_size=global_batch,
+        num_workers=int(cfg.data_loader.get("num_workers", 4)),
+        drop_last=True, seed=0)
+    arng = jax.random.PRNGKey(0)
+    scale = tuple(float(s) for s in cfg.data_transform.global_crops_scale)
+
+    def run(n_steps, state, metrics=None):
+        i, epoch = 0, 0
+        while i < n_steps:
+            loader.set_epoch(epoch)
+            for batch in loader:
+                staged = shard_batch(batch, mesh)
+                aug = augment_batch(
+                    staged["image"], jax.random.fold_in(arng, i),
+                    crop_size=crop, scale=scale)
+                state, metrics = step(state, aug)
+                i += 1
+                if i >= n_steps:
+                    break
+            epoch += 1
+        return state, metrics
+
+    state, metrics = run(args.warmup, state)
+    float(metrics["loss"])  # sync (see tunnel note below)
+    t0 = time.perf_counter()
+    state, metrics = run(args.steps, state)
+    final_loss = float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    img_per_sec = args.steps * global_batch / dt
+    per_chip_rate = img_per_sec / mesh.size
+    result = {
+        "metric": "E2E distill images/sec/chip (loader-fed: native decode + "
+                  "device augment + step)",
+        "value": round(per_chip_rate, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(per_chip_rate / BASELINE_IMG_PER_SEC_PER_CHIP, 3),
+        "detail": {
+            "chips": mesh.size,
+            "global_batch": global_batch,
+            "steps": args.steps,
+            "step_time_ms": round(1000 * dt / args.steps, 2),
+            "staging_size": staging,
+            "final_loss": final_loss,
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="configs/config.yaml")
@@ -48,6 +132,9 @@ def main(argv=None) -> int:
     p.add_argument("--quick", action="store_true", help="small batch / few steps")
     p.add_argument("--profile", metavar="LOGDIR", default=None,
                    help="capture a jax.profiler trace of 3 steps to LOGDIR")
+    p.add_argument("--e2e", action="store_true",
+                   help="feed real DataLoader batches (native JPEG decode + "
+                        "device-side augmentation) instead of pre-staged arrays")
     args = p.parse_args(argv)
 
     cfg = derive_config(load_config(args.config, overrides=args.overrides))
@@ -86,6 +173,9 @@ def main(argv=None) -> int:
     state = init_state(model, tx, batches[0], seed=0)
     state = jax.device_put(state, replicated(mesh))
     step = make_train_step(model, tx)
+
+    if args.e2e:
+        return run_e2e(args, cfg, mesh, state, step, global_batch, h)
 
     for i in range(args.warmup):
         state, metrics = step(state, batches[i % 2])
