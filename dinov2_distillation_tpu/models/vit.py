@@ -203,8 +203,21 @@ class DINOv2ViT(nn.Module):
         through a teacher-block suffix (reference
         ``train/distillation_module.py:162-178``). Blocks are sequence-length
         agnostic, so 256-token (CLS-free) inputs are fine.
+
+        On TPU this differentiates through the fused block kernels
+        (``ops.fused_block.fused_vit_block_diff``): the cascade needs input
+        gradients only (teacher params are never optimized), so the backward
+        is one recompute-based dx kernel per block instead of XLA's unfused
+        LN/softmax/GELU backward chain.
         """
         tokens = tokens.astype(self.dtype)
+        if self._fused_mode(tokens.shape[1]) == "single":
+            from ..ops.fused_block import fused_vit_block_diff
+
+            for blk in self.blocks[start:end]:
+                tokens = fused_vit_block_diff(
+                    tokens, blk.variables["params"], self.cfg.num_heads)
+            return tokens
         for blk in self.blocks[start:end]:
             tokens = blk(tokens)
         return tokens
