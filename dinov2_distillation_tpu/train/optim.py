@@ -315,11 +315,19 @@ def create_optimizer(
     updates_per_epoch: int,
     accumulate_grad_batches: int = 1,
     clip_norm: float = 1.0,
+    flatten: bool = True,
 ) -> Tuple[optax.GradientTransformation, Schedule]:
     """Build the full gradient transformation + the LR schedule (for logging).
 
     ``updates_per_epoch`` counts *optimizer* updates (micro-steps /
     accumulation), since torch schedulers tick per epoch of optimizer steps.
+
+    ``flatten`` wraps the whole chain in ``optax.flatten``: clip + the
+    elementwise optimizer run on ONE raveled parameter vector instead of
+    per-leaf, collapsing the hundreds of tiny per-parameter kernels in the
+    step's tail into a few full-width VPU ops. Mathematically identical
+    (global-norm clip is global either way; AdamW is elementwise); config
+    ``optimizer.flatten: false`` opts out.
     """
     kw = dict(opt_cfg.get("kwargs", {}) or {})
     base_lr = float(kw.get("lr", 1e-3))
@@ -333,6 +341,8 @@ def create_optimizer(
     if sched_cfg and sched_cfg.get("type") == "ReduceLROnPlateau":
         parts.append(host_lr_scale())
     tx = optax.chain(*parts)
+    if bool(opt_cfg.get("flatten", flatten)):
+        tx = optax.flatten(tx)
     if accumulate_grad_batches > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulate_grad_batches)
     return tx, schedule

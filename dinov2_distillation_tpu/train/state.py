@@ -103,7 +103,10 @@ def make_train_step(model, tx: optax.GradientTransformation):
             opt_state=new_opt_state,
         )
         metrics = {k: v.astype(jnp.float32) for k, v in metrics.items()}
-        metrics["grad_norm"] = optax.global_norm(grads).astype(jnp.float32)
+        # norm of the raveled vector == optax.global_norm, in one kernel
+        # instead of one per leaf (XLA CSEs the concat with optax.flatten's)
+        flat_grads, _ = jax.flatten_util.ravel_pytree(grads)
+        metrics["grad_norm"] = jnp.linalg.norm(flat_grads).astype(jnp.float32)
         return new_state, metrics
 
     return train_step
