@@ -235,12 +235,14 @@ class DINOv2ViT(nn.Module):
             return "off"
         if fused_block_supported(self.cfg.embed_dim, self.cfg.ffn, n_tokens):
             return "single"  # whole block in one kernel (ViT-S/B)
-        # NOTE: the split (attention-half + tiled-MLP) kernels compile for
-        # ViT-L but measured SLOWER than XLA's unfused path (267 vs 199 ms
-        # fwd at batch 128) — the 16-head sequential loop serializes; they
-        # stay available via ops.fused_block.fused_vit_block_split for
-        # future tuning but are not auto-selected.
-        del fused_split_supported
+        if fused_split_supported(self.cfg.embed_dim, self.cfg.ffn, n_tokens):
+            # split (attention-half + tiled-MLP) kernels for ViT-L, with the
+            # phased head loop (same fix as commit e524700). Off by default
+            # until measured faster on-device; DKT_VITL_FUSED=1 enables.
+            import os
+
+            if os.environ.get("DKT_VITL_FUSED", "0") == "1":
+                return "split"
         return "off"
 
     def __call__(self, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
