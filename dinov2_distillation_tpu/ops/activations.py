@@ -4,25 +4,46 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+# Odd minimax-refined polynomial for erf(z) = z * P(z^2) on |z| <= 3.4,
+# |err| < 8.2e-5 absolute (iteratively reweighted least squares against
+# scipy.special.erf); clamped to +/-1 outside (1 - erf(3.4) = 2.2e-6).
+_ERF_COEFFS = (
+    1.686945116662488e-08,
+    -9.946319092898204e-07,
+    2.5509352110297597e-05,
+    -0.0003763832942547919,
+    0.003574900871515008,
+    -0.023281561074945542,
+    0.10845911196755587,
+    -0.373675872524305,
+    1.1279933816704037,
+)
+_ERF_CLAMP = 3.4
 
-def erf_as(x: jnp.ndarray) -> jnp.ndarray:
-    """Abramowitz & Stegun 7.1.26 rational erf, |err| < 1.5e-7 (fp32 in/out).
 
-    Used instead of lax.erf/erfc because (a) Pallas TPU has no erf lowering
-    and (b) on the VPU the exp-based polynomial runs at copy bandwidth while
-    erfc costs ~1.5x (measured: 1.86 vs 2.76 ms on a (256,257,1536) map).
+def erf_poly(x: jnp.ndarray) -> jnp.ndarray:
+    """Polynomial erf, |err| < 8.2e-5 (fp32 in/out) — far below bf16
+    resolution (~4e-3 at erf's unit scale), which is the precision every
+    consumer computes in.
+
+    Pallas TPU has no erf lowering; vs the A&S 7.1.26 rational form this is
+    9 fused multiply-adds with NO divide and NO exp, so on the VPU it runs
+    ~2x faster — and the GELU over the (N, 4D) MLP hidden activation is the
+    VPU bottleneck of the fused ViT block kernels.
     """
-    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
-                          -1.453152027, 1.061405429)
-    p = 0.3275911
-    s = jnp.sign(x)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + p * ax)
-    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
-    return s * (1.0 - poly * jnp.exp(-ax * ax))
+    z = jnp.clip(x, -_ERF_CLAMP, _ERF_CLAMP)
+    z2 = z * z
+    p = jnp.float32(_ERF_COEFFS[0])
+    for c in _ERF_COEFFS[1:]:
+        p = p * z2 + jnp.float32(c)
+    return z * p
+
+
+# Backwards-compatible name: all kernel/model call sites import erf_as.
+erf_as = erf_poly
 
 
 def gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
-    """erf-form GELU (torch ``nn.GELU`` semantics) to ~1e-7, fp32 internally."""
+    """erf-form GELU (torch ``nn.GELU`` semantics) to ~1e-4, fp32 internally."""
     xf = x.astype(jnp.float32)
-    return (0.5 * xf * (1.0 + erf_as(xf * 0.7071067811865476))).astype(x.dtype)
+    return (0.5 * xf * (1.0 + erf_poly(xf * 0.7071067811865476))).astype(x.dtype)

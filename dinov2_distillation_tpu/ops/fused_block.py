@@ -29,6 +29,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128
+# Token-dim padding granularity: bf16 sublane tile height. Tokens are the
+# ROW (sublane) dim of every in-kernel tensor, so they only need tile
+# alignment, not 128-lane alignment — padding 257 tokens to 272 instead of
+# 384 cuts ~29% of all row-wise work (LN, GELU, matmul rows, softmax rows);
+# Mosaic masks the non-128-aligned lane dim of the (N, N) score tensors.
+_SUBLANE = 16
 
 
 def _round_up(x: int, m: int) -> int:
@@ -123,7 +129,7 @@ def fused_vit_block(
     """
     b, n, d = x.shape
     head_dim = d // num_heads
-    n_pad = _round_up(n, _LANE)
+    n_pad = _round_up(n, _SUBLANE)
     if n_pad != n:
         x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
 
@@ -169,7 +175,7 @@ def fused_vit_block(
 def fused_block_supported(embed_dim: int, ffn: str, n_tokens: int) -> bool:
     """Weights must fit VMEM alongside activations; MLP variant only."""
     weight_bytes = (12 * embed_dim * embed_dim) * 2  # qkv+proj+fc1+fc2, bf16
-    return ffn == "mlp" and weight_bytes <= 15 * 2 ** 20 and _round_up(n_tokens, _LANE) <= 1024
+    return ffn == "mlp" and weight_bytes <= 15 * 2 ** 20 and _round_up(n_tokens, _SUBLANE) <= 1024
 
 
 # ---------------------------------------------------------------------------
@@ -349,7 +355,7 @@ def fused_vit_block_dx(
     """d(input) of ``fused_vit_block`` at x for output cotangent g."""
     b, n, d = x.shape
     head_dim = d // num_heads
-    n_pad = _round_up(n, _LANE)
+    n_pad = _round_up(n, _SUBLANE)
     if n_pad != n:
         x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
         g = jnp.pad(g, ((0, 0), (0, n_pad - n), (0, 0)))
@@ -429,29 +435,38 @@ def _attn_half_kernel(x_ref, n1s_ref, n1b_ref, wqkv_ref, bqkv_ref,
     col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), dimension=1)
     key_mask = col < n_tokens
 
-    # q/k/v projected PER HEAD inside the loop (same total MXU work as one
-    # (N, 3D) projection): at D=1024 even the bf16 full-width qkv buffers
-    # push the kernel over the 16 MB scoped-VMEM budget
-    def proj_head(part, i):
-        lo = part * d + i * head_dim
-        y = jnp.dot(h, wqkv_ref[:, lo:lo + head_dim],
-                    preferred_element_type=jnp.float32)
-        return (y + bqkv_ref[lo:lo + head_dim].astype(jnp.float32)).astype(x.dtype)
+    # Full-width qkv projection (one (N,D)@(D,3D) MXU matmul — per-head
+    # 64-wide projections ran at half lane utilization and measured slower
+    # than unfused XLA), then the same phased per-head lane-slice attention
+    # as the ViT-S kernel (commit e524700): each list comprehension is a
+    # stage of independent per-head ops, so Mosaic can overlap head i's VPU
+    # softmax with head i+1's MXU matmuls. Buffers fit because the split
+    # path runs under vmem_limit_bytes=64MB (the 16MB scoped default that
+    # originally forced per-head projection no longer applies).
+    qkv = jnp.dot(h, wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(x.dtype)  # (N, 3D)
 
-    outs = []
-    for i in range(num_heads):
-        qh = proj_head(0, i)
-        kh = proj_head(1, i)
-        s = jax.lax.dot_general(
-            qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+    def head(off, i):
+        return qkv[:, off + i * head_dim:off + (i + 1) * head_dim]
+
+    scores = [
+        jax.lax.dot_general(
+            head(0, i), head(d, i), dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
+        for i in range(num_heads)
+    ]
+    probs = []
+    for s in scores:
         s = jnp.where(key_mask, s, -jnp.inf)
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
-        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
-        outs.append(jnp.dot(p, proj_head(2, i),
-                            preferred_element_type=jnp.float32).astype(x.dtype))
+        probs.append((e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype))
+    outs = [
+        jnp.dot(probs[i], head(2 * d, i),
+                preferred_element_type=jnp.float32).astype(x.dtype)
+        for i in range(num_heads)
+    ]
     attn = jnp.concatenate(outs, axis=-1)
     attn = jnp.dot(attn, wproj_ref[:], preferred_element_type=jnp.float32)
     attn = attn + bproj_ref[:].astype(jnp.float32)
@@ -459,35 +474,22 @@ def _attn_half_kernel(x_ref, n1s_ref, n1b_ref, wqkv_ref, bqkv_ref,
 
 
 def _mlp_half_kernel(x_ref, n2s_ref, n2b_ref, w1_ref, b1_ref, w2_ref,
-                     ls2_ref, b2full_ref, o_ref, acc_ref, h_ref,
-                     *, n_chunks: int, hc: int):
-    """Grid (b, n_chunks): hidden dim tiled over j with fp32 accumulation.
-    LN(x) is computed once per batch element (j == 0) into scratch."""
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _():
-        h_ref[...] = _layernorm(x_ref[0], n2s_ref[:], n2b_ref[:])
-
-    m1 = jnp.dot(h_ref[...], w1_ref[:], preferred_element_type=jnp.float32)
-    # full bias resident; dynamic lane slice for this hidden chunk
-    b1c = b1_ref[pl.ds(pl.multiple_of(j * hc, hc), hc)]
-    m1 = m1 + b1c.astype(jnp.float32)
-    m1 = _gelu_exact(m1).astype(x_ref.dtype)
-    part = jnp.dot(m1, w2_ref[:], preferred_element_type=jnp.float32)
-
-    @pl.when(j == 0)
-    def _():
-        acc_ref[...] = part
-
-    @pl.when(j > 0)
-    def _():
-        acc_ref[...] = acc_ref[...] + part
-
-    @pl.when(j == n_chunks - 1)
-    def _():
-        total = acc_ref[...] + b2full_ref[:].astype(jnp.float32)
-        o_ref[0] = x_ref[0] + (total * ls2_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
+                     ls2_ref, b2_ref, o_ref):
+    """Grid (b,): whole MLP with fc1+fc2 weights VMEM-resident (constant
+    index_map -> fetched ONCE for the entire grid). The previous
+    hidden-chunked variant re-DMAed a 4 MB weight tile per (batch, chunk)
+    program — ~2 GB of weight traffic per ViT-L block — and lost to
+    unfused XLA on that traffic alone. At D=1024 the full 16 MB of MLP
+    weights plus the (N,4D) fp32 hidden activation fit comfortably under
+    the 64 MB vmem limit."""
+    x = x_ref[0]
+    h = _layernorm(x, n2s_ref[:], n2b_ref[:])
+    m1 = jnp.dot(h, w1_ref[:], preferred_element_type=jnp.float32)
+    m1 = m1 + b1_ref[:].astype(jnp.float32)
+    m1 = _gelu_exact(m1).astype(x.dtype)
+    m2 = jnp.dot(m1, w2_ref[:], preferred_element_type=jnp.float32)
+    m2 = m2 + b2_ref[:].astype(jnp.float32)
+    o_ref[0] = x + (m2 * ls2_ref[:].astype(jnp.float32)).astype(x.dtype)
 
 
 def fused_vit_block_split(
@@ -501,15 +503,13 @@ def fused_vit_block_split(
     """ViT block as attention-half + hidden-tiled MLP-half kernels (ViT-L)."""
     b, n, d = x.shape
     head_dim = d // num_heads
-    n_pad = _round_up(n, _LANE)
+    n_pad = _round_up(n, _SUBLANE)
     if n_pad != n:
         x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
 
     p = block_params
     dt = x.dtype
-    hidden = p["mlp"]["fc1"]["kernel"].shape[1]
-    assert hidden % hidden_chunks == 0
-    hc = hidden // hidden_chunks
+    del hidden_chunks  # retained for API compat; the MLP half is no longer tiled
 
     aw = [
         p["norm1"]["scale"].astype(dt), p["norm1"]["bias"].astype(dt),
@@ -545,38 +545,28 @@ def fused_vit_block_split(
     b2 = p["mlp"]["fc2"]["bias"].astype(dt)
     ls2 = p["ls2"]["gamma"].astype(dt)
 
-    xspec2 = pl.BlockSpec((1, n_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    mw = [n2s, n2b, w1, b1, w2, ls2, b2]
     out = pl.pallas_call(
-        functools.partial(_mlp_half_kernel, n_chunks=hidden_chunks, hc=hc),
-        grid=(b, hidden_chunks),
-        in_specs=[
-            xspec2,
-            pl.BlockSpec(n2s.shape, lambda i, j: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec(n2b.shape, lambda i, j: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, hc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            # full 1-D bias resident (blocked 1-D operands hit layout-tiling
-            # mismatches); the kernel takes a dynamic lane slice per chunk
-            pl.BlockSpec(b1.shape, lambda i, j: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hc, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(ls2.shape, lambda i, j: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec(b2.shape, lambda i, j: (0,), memory_space=pltpu.VMEM),
-        ],
-        out_specs=xspec2,
+        _mlp_half_kernel,
+        grid=(b,),
+        in_specs=[xspec] + [wspec(w) for w in mw],
+        out_specs=xspec,
         out_shape=jax.ShapeDtypeStruct((b, n_pad, d), dt),
-        scratch_shapes=[
-            pltpu.VMEM((n_pad, d), jnp.float32),  # accumulator
-            pltpu.VMEM((n_pad, d), dt),           # LN(x) reused across chunks
-        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel",),
             vmem_limit_bytes=64 * 2 ** 20,
         ),
         interpret=interpret,
-    )(y, n2s, n2b, w1, b1, w2, ls2, b2)
+    )(y, *mw)
     return out[:, :n]
 
 
 def fused_split_supported(embed_dim: int, ffn: str, n_tokens: int) -> bool:
-    """Attention-half weights (4*D^2 bf16) must fit VMEM."""
-    return (ffn == "mlp" and (4 * embed_dim * embed_dim) * 2 <= 10 * 2 ** 20
-            and _round_up(n_tokens, _LANE) <= 1024)
+    """Both halves' weights must be VMEM-resident under the 64 MB limit:
+    attention 4*D^2 bf16 (+ (N,3D) qkv and per-head fp32 score buffers),
+    MLP 8*D^2 bf16 + the (N,4D) fp32 hidden activation."""
+    n_pad = _round_up(n_tokens, _SUBLANE)
+    attn_bytes = 4 * embed_dim * embed_dim * 2 + n_pad * 3 * embed_dim * 4
+    mlp_bytes = 8 * embed_dim * embed_dim * 2 + n_pad * 4 * embed_dim * 4
+    return (ffn == "mlp" and attn_bytes <= 24 * 2 ** 20
+            and mlp_bytes <= 48 * 2 ** 20 and n_pad <= 1024)
