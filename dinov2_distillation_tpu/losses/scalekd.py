@@ -193,7 +193,96 @@ class AttentionProjector(nn.Module):
     num_heads: int = 8
     dtype: Any = jnp.bfloat16
 
-    @nn.compact
+    def setup(self):
+        # setup-style (not nn.compact) so ``head``/``tail`` can run as
+        # separate lifted-vmap methods and the fused projector-tail kernel
+        # can read the tail submodules' raw params (models/vit.py pattern).
+        # Attribute names reproduce the previous inline names, keeping the
+        # param tree (and every importer/checkpoint) unchanged.
+        self.proj_conv = nn.Conv(
+            self.teacher_dim, (1, 1), dtype=self.dtype, name="proj_conv")
+        from ..models.backbones.common import batch_norm
+
+        # BN honors the per-replica/sync scope flag like every student BN
+        # (the projector is part of the optimized model, so DDP would have
+        # given it per-replica stats too)
+        self.proj_bn = batch_norm(None, name="proj_bn", dtype=self.dtype)
+        self.pos_embed = self.param(
+            "pos_embed", nn.initializers.truncated_normal(0.02),
+            (1, self.hw[0], self.hw[1], self.teacher_dim))
+        if self.self_query:
+            self.query_embed = self.param(
+                "query_embed",
+                nn.initializers.normal(1.0),  # torch nn.Embedding default N(0,1)
+                (self.hw[0] * self.hw[1], self.teacher_dim))
+        self.pos_attention = WindowMultiheadPosAttention(
+            embed_dim=self.teacher_dim,
+            num_heads=self.num_heads,
+            pos_dim=self.pos_dim,
+            window_shapes=tuple(self.window_shapes),
+            softmax_scale=self.softmax_scale,
+            dtype=self.dtype,
+            name="pos_attention",
+        )
+        self.norm = nn.LayerNorm(dtype=self.dtype, name="norm")
+        self.ffn = FFN(self.teacher_dim, self.teacher_dim * 4,
+                       dtype=self.dtype, name="ffn")
+        self.norm_2 = nn.LayerNorm(dtype=self.dtype, name="norm_2")
+
+    def head(
+        self,
+        x: jnp.ndarray,
+        query: Optional[jnp.ndarray] = None,
+        use_external_query: Optional[bool] = None,
+        train: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """conv+BN+ReLU+pos-add and query resolution -> (s_tokens, q_tokens)."""
+        h, w = self.hw
+        b = x.shape[0]
+        if use_external_query is None:
+            use_external_query = query is not None
+
+        if use_external_query:
+            pos_emb = query  # (B, N, D) external query tokens (TPP cascade)
+        elif self.self_query:
+            pos_emb = jnp.broadcast_to(
+                self.query_embed[None].astype(self.dtype),
+                (b, h * w, self.teacher_dim))
+        else:
+            raise ValueError(
+                "AttentionProjector with self_query=False requires an external query "
+                "(reference losses/scalekd.py:231-236)"
+            )
+
+        s = self.proj_conv(x.astype(self.dtype))
+        s = self.proj_bn(s, use_running_average=not train)
+        s = nn.relu(s)
+        s = s + self.pos_embed.astype(s.dtype)
+        s_tokens = s.reshape(b, h * w, self.teacher_dim)
+        return s_tokens, pos_emb.astype(self.dtype)
+
+    def tail(
+        self,
+        s_tokens: jnp.ndarray,
+        q_tokens: jnp.ndarray,
+        softmax_scale: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Attention + residual + LN + FFN + LN (the fused-kernel region)."""
+        attn_out = self.pos_attention(s_tokens, q_tokens, softmax_scale)
+        fea = attn_out + s_tokens
+        fea = self.norm(fea)
+        fea = self.ffn(fea)
+        return self.norm_2(fea)
+
+    def tail_params(self):
+        """Raw param subtrees of the tail submodules (for the fused kernel)."""
+        return {
+            "attn": self.pos_attention.variables["params"],
+            "norm": self.norm.variables["params"],
+            "ffn": self.ffn.variables["params"],
+            "norm_2": self.norm_2.variables["params"],
+        }
+
     def __call__(
         self,
         x: jnp.ndarray,
@@ -203,59 +292,8 @@ class AttentionProjector(nn.Module):
         use_external_query: Optional[bool] = None,
         train: bool = True,
     ) -> jnp.ndarray:
-        h, w = self.hw
-        b = x.shape[0]
-        if use_external_query is None:
-            use_external_query = query is not None
-
-        if use_external_query:
-            pos_emb = query  # (B, N, D) external query tokens (TPP cascade)
-        elif self.self_query:
-            query_embed = self.param(
-                "query_embed",
-                nn.initializers.normal(1.0),  # torch nn.Embedding default N(0,1)
-                (h * w, self.teacher_dim),
-            )
-            pos_emb = jnp.broadcast_to(
-                query_embed[None].astype(self.dtype), (b, h * w, self.teacher_dim)
-            )
-        else:
-            raise ValueError(
-                "AttentionProjector with self_query=False requires an external query "
-                "(reference losses/scalekd.py:231-236)"
-            )
-
-        s = nn.Conv(self.teacher_dim, (1, 1), dtype=self.dtype, name="proj_conv")(
-            x.astype(self.dtype)
-        )
-        # BN honors the per-replica/sync scope flag like every student BN
-        # (the projector is part of the optimized model, so DDP would have
-        # given it per-replica stats too)
-        from ..models.backbones.common import batch_norm
-
-        s = batch_norm(train, name="proj_bn", dtype=self.dtype)(s)
-        s = nn.relu(s)
-
-        pos_embed = self.param(
-            "pos_embed", nn.initializers.truncated_normal(0.02), (1, h, w, self.teacher_dim)
-        )
-        s = s + pos_embed.astype(s.dtype)
-        s_tokens = s.reshape(b, h * w, self.teacher_dim)
-
-        attn_out = WindowMultiheadPosAttention(
-            embed_dim=self.teacher_dim,
-            num_heads=self.num_heads,
-            pos_dim=self.pos_dim,
-            window_shapes=tuple(self.window_shapes),
-            softmax_scale=self.softmax_scale,
-            dtype=self.dtype,
-            name="pos_attention",
-        )(s_tokens, pos_emb.astype(self.dtype), softmax_scale)
-
-        fea = attn_out + s_tokens
-        fea = nn.LayerNorm(dtype=self.dtype, name="norm")(fea)
-        fea = FFN(self.teacher_dim, self.teacher_dim * 4, dtype=self.dtype, name="ffn")(fea)
-        return nn.LayerNorm(dtype=self.dtype, name="norm_2")(fea)
+        s_tokens, pos_emb = self.head(x, query, use_external_query, train)
+        return self.tail(s_tokens, pos_emb, softmax_scale)
 
 
 class ScaleKD(nn.Module):

@@ -54,14 +54,19 @@ class GroupedBatchNorm(nn.Module):
     is the deterministic equivalent).
     """
 
-    use_running_average: bool
+    use_running_average: Optional[bool]
     groups: int = 1
     momentum: float = _BN_MOMENTUM
     epsilon: float = _BN_EPS
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 use_running_average: Optional[bool] = None) -> jnp.ndarray:
+        # call-time override mirrors nn.BatchNorm (setup-style modules build
+        # the cell before knowing `train`)
+        if use_running_average is None:
+            use_running_average = self.use_running_average
         c = x.shape[-1]
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((c,), jnp.float32))
@@ -70,7 +75,7 @@ class GroupedBatchNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
 
-        if self.use_running_average:
+        if use_running_average:
             mean = ra_mean.value
             var = ra_var.value
             inv = jax.lax.rsqrt(var + self.epsilon) * scale
@@ -136,7 +141,7 @@ class ConvBN(nn.Module):
         return x
 
 
-def batch_norm(train: bool, name: str = "bn", epsilon: float = _BN_EPS,
+def batch_norm(train: Optional[bool], name: str = "bn", epsilon: float = _BN_EPS,
                momentum: float = _BN_MOMENTUM, dtype: Any = jnp.bfloat16):
     """BatchNorm cell. ``dtype`` is the compute/output dtype; flax computes
     the batch moments in fp32 regardless, and the running stats live in
@@ -144,13 +149,16 @@ def batch_norm(train: bool, name: str = "bn", epsilon: float = _BN_EPS,
     halves the HBM cost of every BN in the CNN students.
 
     Honors ``set_bn_groups``: G>1 returns the grouped (per-virtual-replica)
-    variant with an identical param/stat tree."""
+    variant with an identical param/stat tree. ``train=None`` defers the
+    mode to a call-time ``use_running_average`` argument (setup-style
+    callers that build the cell before knowing ``train``)."""
+    ura = None if train is None else not train
     if _BN_GROUPS > 1:
         return GroupedBatchNorm(
-            use_running_average=not train, groups=_BN_GROUPS,
+            use_running_average=ura, groups=_BN_GROUPS,
             momentum=momentum, epsilon=epsilon, dtype=dtype, name=name)
     return nn.BatchNorm(
-        use_running_average=not train,
+        use_running_average=ura,
         momentum=momentum,
         epsilon=epsilon,
         dtype=dtype,
