@@ -28,6 +28,7 @@ from __future__ import annotations
 from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.attention import fused_attention, token_major_attention
@@ -322,13 +323,20 @@ class ScaleKD(nn.Module):
         # over a leading branch axis runs both in one set of XLA ops at twice
         # the arithmetic intensity — measurably faster than two subgraphs on
         # TPU. Per-branch softmax_scale is passed as a mapped argument.
-        vmapped = nn.vmap(
-            AttentionProjector,
-            # x broadcast; query + softmax_scale stacked; flags static
-            in_axes=(None, 0, 0, None, None),
+        lift = dict(
             out_axes=0,
             variable_axes={"params": 0, "batch_stats": 0},
             split_rngs={"params": True, "dropout": True},
+        )
+        vmapped = nn.vmap(
+            AttentionProjector,
+            methods={
+                # x broadcast; query + softmax_scale stacked; flags static
+                "__call__": dict(in_axes=(None, 0, 0, None, None), **lift),
+                # fused-tail path: lifted head (conv+BN+pos+query resolve),
+                # tail runs as one Pallas kernel on the stacked pair
+                "head": dict(in_axes=(None, 0, None, None), **lift),
+            },
         )
         self.projectors = vmapped(
             student_dim=self.student_dim,
@@ -360,7 +368,42 @@ class ScaleKD(nn.Module):
                     "external query (reference losses/scalekd.py:231-236)")
             queries = jnp.zeros((2, b, h * w, self.teacher_dim), self.dtype)
         scales = jnp.asarray(self.softmax_scale, jnp.float32)
+        mode = self._fused_tail_mode(h * w)
+        if mode != "off":
+            from ..ops.projector import fused_projector_tail
+
+            s_tokens, q_tokens = self.projectors.head(
+                preds_S, queries, use_external, train)
+            pv = self.projectors.variables["params"]
+            tail_tree = {
+                "attn": {k_: pv["pos_attention"][k_] for k_ in ("q", "k", "v", "proj")},
+                "norm": pv["norm"],
+                "ffn": pv["ffn"],
+                "norm_2": pv["norm_2"],
+            }
+            return fused_projector_tail(
+                s_tokens, q_tokens, scales, tail_tree, self.num_heads,
+                mode == "interpret")
         return self.projectors(preds_S, queries, scales, use_external, train)
+
+    def _fused_tail_mode(self, n_tokens: int) -> str:
+        import os
+
+        from ..ops.projector import projector_tail_supported
+
+        flag = os.environ.get("DKT_FUSED_PROJ", "1")
+        if self.is_initializing() or flag == "0":
+            return "off"
+        if not projector_tail_supported(
+                n_tokens, self.teacher_dim, self.num_heads, self.window_shapes):
+            return "off"
+        if flag == "interpret":  # CPU wiring tests
+            return "interpret"
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:
+            on_tpu = False
+        return "on" if on_tpu else "off"
 
     def __call__(
         self,

@@ -1,0 +1,436 @@
+"""Fused ScaleKD projector tail — one Pallas kernel pair (fwd + custom VJP).
+
+The reference projector (``losses/scalekd.py:177-335``: cross-attention +
+residual + LN + FFN + LN) is a soup of small HBM-bound ops — on v5e the
+XLA lowering of the projector *pair* measures ~10 ms forward / ~25 ms
+fwd+bwd at batch 256 against a ~1.2 ms matmul floor, dominated by layout
+changes and activation round-trips rather than FLOPs. Here the whole tail
+(q/k/v projections, 8-head cross-attention, out-proj, residual, LN, FFN,
+LN) runs as ONE kernel per (branch, sample) program with every weight
+VMEM-resident, and the backward is a single recompute-based kernel that
+produces input gradients per program and accumulates weight gradients
+across each branch's programs in revisited output blocks.
+
+The conv+BN+ReLU head stays in XLA: BatchNorm's batch moments (and the
+grouped per-replica mode) are a cross-sample reduction that does not
+belong in a per-sample kernel.
+
+Layout contract: branch-stacked inputs (2, B, N, D) from the lifted-vmap
+projector pair; weights stacked (2, ...); grid (2B,) with weight blocks
+indexed by ``i // B`` — vmap never touches the pallas_call.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ln_fwd(x, scale, bias, eps=1e-6):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mu) * rstd
+    return xhat * scale.astype(jnp.float32) + bias.astype(jnp.float32), xhat, rstd
+
+
+def _ln_bwd(dy, xhat, rstd, scale):
+    dxhat = dy * scale.astype(jnp.float32)
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    return (dxhat - m1 - xhat * m2) * rstd
+
+
+def _attention(q, k, v, num_heads: int, head_dim: int):
+    """Phased per-head cross-attention on lane slices; returns (out, probs)."""
+    scale = head_dim ** -0.5
+    heads = range(num_heads)
+
+    def sl(t, i):
+        return t[:, i * head_dim:(i + 1) * head_dim]
+
+    scores = [
+        jax.lax.dot_general(
+            sl(q, i), sl(k, i), dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        for i in heads
+    ]
+    probs = []
+    for s in scores:
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        probs.append(e / jnp.sum(e, axis=-1, keepdims=True))  # fp32
+    outs = [
+        jnp.dot(probs[i].astype(q.dtype), sl(v, i),
+                preferred_element_type=jnp.float32).astype(q.dtype)
+        for i in heads
+    ]
+    return jnp.concatenate(outs, axis=-1), probs
+
+
+def _dense(x, w_ref, b_ref):
+    # weight blocks carry a leading (1,) branch-block dim
+    y = jnp.dot(x, w_ref[0], preferred_element_type=jnp.float32)
+    return (y + b_ref[0].astype(jnp.float32)).astype(x.dtype)
+
+
+def _tail_fwd_kernel(
+    s_ref, q_ref, scale_ref,
+    wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+    n1s_ref, n1b_ref, w1_ref, b1_ref, w2_ref, b2_ref, n2s_ref, n2b_ref,
+    o_ref,
+    *, num_heads: int, head_dim: int, per_branch: int,
+):
+    s = s_ref[0]                 # (N, D) bf16
+    qt = q_ref[0]
+    sscale = scale_ref[pl.program_id(0) // per_branch, 0]
+
+    q = _dense(qt, wq_ref, bq_ref) * sscale.astype(s.dtype)
+    k = _dense(s, wk_ref, bk_ref)
+    v = _dense(s, wv_ref, bv_ref)
+    att, _ = _attention(q, k, v, num_heads, head_dim)
+    ao = _dense(att, wo_ref, bo_ref)
+    fea = ao + s                                          # bf16 residual
+    h1, _, _ = _ln_fwd(fea, n1s_ref[0], n1b_ref[0])
+    h1b = h1.astype(s.dtype)
+    z = jnp.dot(h1b, w1_ref[0], preferred_element_type=jnp.float32)
+    z = z + b1_ref[0].astype(jnp.float32)
+    a = jnp.maximum(z, 0.0).astype(s.dtype)
+    f2 = _dense(a, w2_ref, b2_ref)
+    ffn = h1b + f2                                        # bf16 residual
+    h2, _, _ = _ln_fwd(ffn, n2s_ref[0], n2b_ref[0])
+    o_ref[0] = h2.astype(s.dtype)
+
+
+def _tail_bwd_kernel(
+    s_ref, q_ref, g_ref, scale_ref,
+    wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+    n1s_ref, n1b_ref, w1_ref, b1_ref, w2_ref, b2_ref, n2s_ref, n2b_ref,
+    ds_ref, dq_ref,
+    dwq_ref, dbq_ref, dwk_ref, dbk_ref, dwv_ref, dbv_ref, dwo_ref, dbo_ref,
+    dn1s_ref, dn1b_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+    dn2s_ref, dn2b_ref,
+    *, num_heads: int, head_dim: int, per_branch: int,
+):
+    i = pl.program_id(0)
+    first = jax.lax.rem(i, per_branch) == 0
+
+    def acc(ref, val):
+        v = val.astype(ref.dtype).reshape(ref.shape)
+
+        @pl.when(first)
+        def _():
+            ref[...] = v
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            ref[...] = ref[...] + v
+
+    s = s_ref[0]
+    qt = q_ref[0]
+    g = g_ref[0].astype(jnp.float32)
+    sscale = scale_ref[i // per_branch, 0]
+
+    # ---- forward recompute (matches _tail_fwd_kernel numerics) ----------
+    q = _dense(qt, wq_ref, bq_ref) * sscale.astype(s.dtype)
+    k = _dense(s, wk_ref, bk_ref)
+    v = _dense(s, wv_ref, bv_ref)
+    att, probs = _attention(q, k, v, num_heads, head_dim)
+    ao = _dense(att, wo_ref, bo_ref)
+    fea = ao + s
+    h1, xhat1, rstd1 = _ln_fwd(fea, n1s_ref[0], n1b_ref[0])
+    h1b = h1.astype(s.dtype)
+    z = jnp.dot(h1b, w1_ref[0], preferred_element_type=jnp.float32)
+    z = z + b1_ref[0].astype(jnp.float32)
+    a = jnp.maximum(z, 0.0).astype(s.dtype)
+    f2 = _dense(a, w2_ref, b2_ref)
+    ffn = h1b + f2
+    _, xhat2, rstd2 = _ln_fwd(ffn, n2s_ref[0], n2b_ref[0])
+
+    # ---- LN2 ------------------------------------------------------------
+    acc(dn2s_ref, jnp.sum(g * xhat2, axis=0, keepdims=True))
+    acc(dn2b_ref, jnp.sum(g, axis=0, keepdims=True))
+    dffn = _ln_bwd(g, xhat2, rstd2, n2s_ref[0])
+
+    # ---- FFN ------------------------------------------------------------
+    dffnb = dffn.astype(s.dtype)
+    acc(dw2_ref, jax.lax.dot_general(
+        a, dffnb, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32))
+    acc(db2_ref, jnp.sum(dffn, axis=0, keepdims=True))
+    da = jnp.dot(dffnb, w2_ref[0].T, preferred_element_type=jnp.float32)
+    dz = jnp.where(z > 0.0, da, 0.0)
+    dzb = dz.astype(s.dtype)
+    acc(dw1_ref, jax.lax.dot_general(
+        h1b, dzb, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32))
+    acc(db1_ref, jnp.sum(dz, axis=0, keepdims=True))
+    dh1 = dffn + jnp.dot(dzb, w1_ref[0].T, preferred_element_type=jnp.float32)
+
+    # ---- LN1 ------------------------------------------------------------
+    acc(dn1s_ref, jnp.sum(dh1 * xhat1, axis=0, keepdims=True))
+    acc(dn1b_ref, jnp.sum(dh1, axis=0, keepdims=True))
+    dfea = _ln_bwd(dh1, xhat1, rstd1, n1s_ref[0])
+
+    # ---- out-proj -------------------------------------------------------
+    dfeab = dfea.astype(s.dtype)
+    acc(dwo_ref, jax.lax.dot_general(
+        att, dfeab, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32))
+    acc(dbo_ref, jnp.sum(dfea, axis=0, keepdims=True))
+    datt = jnp.dot(dfeab, wo_ref[0].T,
+                   preferred_element_type=jnp.float32).astype(s.dtype)
+
+    # ---- attention ------------------------------------------------------
+    def sl(t, i_):
+        return t[:, i_ * head_dim:(i_ + 1) * head_dim]
+
+    ascale = head_dim ** -0.5
+    dps = [
+        jax.lax.dot_general(
+            sl(datt, h), sl(v, h), dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        for h in range(num_heads)
+    ]
+    dvs = [
+        jax.lax.dot_general(
+            probs[h].astype(s.dtype), sl(datt, h),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(s.dtype)
+        for h in range(num_heads)
+    ]
+    dscs = []
+    for h in range(num_heads):
+        p = probs[h]
+        dp = dps[h]
+        dscs.append(((p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)))
+                     * ascale).astype(s.dtype))
+    dqs = [
+        jnp.dot(dscs[h], sl(k, h),
+                preferred_element_type=jnp.float32).astype(s.dtype)
+        for h in range(num_heads)
+    ]
+    dks = [
+        jax.lax.dot_general(
+            dscs[h], sl(q, h), dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(s.dtype)
+        for h in range(num_heads)
+    ]
+    dqb = jnp.concatenate(dqs, axis=-1)   # grad wrt SCALED q, bf16
+    dk = jnp.concatenate(dks, axis=-1)
+    dv = jnp.concatenate(dvs, axis=-1)
+
+    # ---- q/k/v projections ---------------------------------------------
+    dqf = (dqb.astype(jnp.float32) * sscale)
+    dqfb = dqf.astype(s.dtype)
+    acc(dwq_ref, jax.lax.dot_general(
+        qt, dqfb, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32))
+    acc(dbq_ref, jnp.sum(dqf, axis=0, keepdims=True))
+    dq_ref[0] = jnp.dot(dqfb, wq_ref[0].T,
+                        preferred_element_type=jnp.float32).astype(s.dtype)
+
+    acc(dwk_ref, jax.lax.dot_general(
+        s, dk, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32))
+    acc(dbk_ref, jnp.sum(dk.astype(jnp.float32), axis=0, keepdims=True))
+    acc(dwv_ref, jax.lax.dot_general(
+        s, dv, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32))
+    acc(dbv_ref, jnp.sum(dv.astype(jnp.float32), axis=0, keepdims=True))
+
+    ds = (dfea
+          + jnp.dot(dk, wk_ref[0].T, preferred_element_type=jnp.float32)
+          + jnp.dot(dv, wv_ref[0].T, preferred_element_type=jnp.float32))
+    ds_ref[0] = ds.astype(s.dtype)
+
+
+def _weights_list(params: Dict[str, Any], dt):
+    """Stacked (2, ...) tail params -> ordered kernel operand list (bf16).
+    Vector operands become (2, 1, C): TPU block shapes must have their last
+    two dims tile-divisible or equal to the array dims, which a (1, C) block
+    on a (2, C) array violates."""
+    a = params["attn"]
+    f = params["ffn"]
+
+    def vec(t):
+        return t.reshape(2, 1, -1).astype(dt)
+
+    return [
+        a["q"]["kernel"].astype(dt), vec(a["q"]["bias"]),
+        a["k"]["kernel"].astype(dt), vec(a["k"]["bias"]),
+        a["v"]["kernel"].astype(dt), vec(a["v"]["bias"]),
+        a["proj"]["kernel"].astype(dt), vec(a["proj"]["bias"]),
+        vec(params["norm"]["scale"]), vec(params["norm"]["bias"]),
+        f["fc1"]["kernel"].astype(dt), vec(f["fc1"]["bias"]),
+        f["fc2"]["kernel"].astype(dt), vec(f["fc2"]["bias"]),
+        vec(params["norm_2"]["scale"]), vec(params["norm_2"]["bias"]),
+    ]
+
+
+def _wspec(w, per_branch: int):
+    shape = (1,) + w.shape[1:]
+    return pl.BlockSpec(shape, lambda i, pb=per_branch: (i // pb,) + (0,) * (w.ndim - 1),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_projector_tail(s, q, scales, params, num_heads: int,
+                         interpret: bool = False):
+    """Projector tail for the branch pair: (2, B, N, D) -> (2, B, N, D).
+
+    ``params`` is the stacked tail tree {attn:{q,k,v,proj}, norm, ffn, norm_2}
+    (leading (2,) on every leaf, fp32). Gradients flow to s, q and params;
+    ``scales`` (the per-branch softmax scales) is a hyperparameter and gets
+    zero cotangent."""
+    return _tail_fwd(s, q, scales, params, num_heads, interpret)[0]
+
+
+def _tail_call_shapes(s):
+    two, b, n, d = s.shape
+    assert two == 2, "branch-stacked input expected"
+    return two, b, n, d
+
+
+def _tail_fwd(s, q, scales, params, num_heads, interpret):
+    two, b, n, d = _tail_call_shapes(s)
+    head_dim = d // num_heads
+    dt = s.dtype
+    s2 = s.reshape(two * b, n, d)
+    q2 = q.reshape(two * b, n, d)
+    sc = scales.reshape(two, 1).astype(jnp.float32)
+    weights = _weights_list(params, dt)
+
+    xspec = pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)  # full (2,1) scales array
+    out = pl.pallas_call(
+        functools.partial(_tail_fwd_kernel, num_heads=num_heads,
+                          head_dim=head_dim, per_branch=b),
+        grid=(two * b,),
+        in_specs=[xspec, xspec, sspec] + [_wspec(w, b) for w in weights],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((two * b, n, d), dt),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 2 ** 20,
+        ),
+        interpret=interpret,
+    )(s2, q2, sc, *weights)
+    return out.reshape(two, b, n, d), (s, q, scales, params)
+
+
+def _tail_bwd(num_heads, interpret, res, g):
+    s, q, scales, params = res
+    two, b, n, d = _tail_call_shapes(s)
+    head_dim = d // num_heads
+    dt = s.dtype
+    hidden = params["ffn"]["fc1"]["kernel"].shape[-1]
+    s2 = s.reshape(two * b, n, d)
+    q2 = q.reshape(two * b, n, d)
+    g2 = g.reshape(two * b, n, d).astype(dt)
+    sc = scales.reshape(two, 1).astype(jnp.float32)
+    weights = _weights_list(params, dt)
+
+    xspec = pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)  # full (2,1) scales array
+
+    def gshape(*dims):
+        return jax.ShapeDtypeStruct((two,) + dims, jnp.float32)
+
+    def gspec(*dims):
+        return pl.BlockSpec((1,) + dims, lambda i, pb=b: (i // pb,) + (0,) * len(dims),
+                            memory_space=pltpu.VMEM)
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((two * b, n, d), dt),   # ds
+        jax.ShapeDtypeStruct((two * b, n, d), dt),   # dq
+        gshape(d, d), gshape(1, d),                  # dWq, dbq
+        gshape(d, d), gshape(1, d),                  # dWk, dbk
+        gshape(d, d), gshape(1, d),                  # dWv, dbv
+        gshape(d, d), gshape(1, d),                  # dWo, dbo
+        gshape(1, d), gshape(1, d),                  # dn1s, dn1b
+        gshape(d, hidden), gshape(1, hidden),        # dW1, db1
+        gshape(hidden, d), gshape(1, d),             # dW2, db2
+        gshape(1, d), gshape(1, d),                  # dn2s, dn2b
+    ]
+    out_specs = [
+        xspec, xspec,
+        gspec(d, d), gspec(1, d),
+        gspec(d, d), gspec(1, d),
+        gspec(d, d), gspec(1, d),
+        gspec(d, d), gspec(1, d),
+        gspec(1, d), gspec(1, d),
+        gspec(d, hidden), gspec(1, hidden),
+        gspec(hidden, d), gspec(1, d),
+        gspec(1, d), gspec(1, d),
+    ]
+    outs = pl.pallas_call(
+        functools.partial(_tail_bwd_kernel, num_heads=num_heads,
+                          head_dim=head_dim, per_branch=b),
+        grid=(two * b,),
+        in_specs=[xspec, xspec, xspec, sspec] + [_wspec(w, b) for w in weights],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=96 * 2 ** 20,
+        ),
+        interpret=interpret,
+    )(s2, q2, g2, sc, *weights)
+
+    (ds2, dq2, dwq, dbq, dwk, dbk, dwv, dbv, dwo, dbo,
+     dn1s, dn1b, dw1, db1, dw2, db2, dn2s, dn2b) = outs
+
+    def pdt(path):
+        t = params
+        for k_ in path:
+            t = t[k_]
+        return t.dtype
+
+    dparams = {
+        "attn": {
+            "q": {"kernel": dwq.astype(pdt(("attn", "q", "kernel"))),
+                  "bias": dbq[:, 0].astype(pdt(("attn", "q", "bias")))},
+            "k": {"kernel": dwk.astype(pdt(("attn", "k", "kernel"))),
+                  "bias": dbk[:, 0].astype(pdt(("attn", "k", "bias")))},
+            "v": {"kernel": dwv.astype(pdt(("attn", "v", "kernel"))),
+                  "bias": dbv[:, 0].astype(pdt(("attn", "v", "bias")))},
+            "proj": {"kernel": dwo.astype(pdt(("attn", "proj", "kernel"))),
+                     "bias": dbo[:, 0].astype(pdt(("attn", "proj", "bias")))},
+        },
+        "norm": {"scale": dn1s[:, 0].astype(pdt(("norm", "scale"))),
+                 "bias": dn1b[:, 0].astype(pdt(("norm", "bias")))},
+        "ffn": {
+            "fc1": {"kernel": dw1.astype(pdt(("ffn", "fc1", "kernel"))),
+                    "bias": db1[:, 0].astype(pdt(("ffn", "fc1", "bias")))},
+            "fc2": {"kernel": dw2.astype(pdt(("ffn", "fc2", "kernel"))),
+                    "bias": db2[:, 0].astype(pdt(("ffn", "fc2", "bias")))},
+        },
+        "norm_2": {"scale": dn2s[:, 0].astype(pdt(("norm_2", "scale"))),
+                   "bias": dn2b[:, 0].astype(pdt(("norm_2", "bias")))},
+    }
+    return (ds2.reshape(two, b, n, d), dq2.reshape(two, b, n, d),
+            jnp.zeros_like(res[2]), dparams)
+
+
+fused_projector_tail.defvjp(_tail_fwd, _tail_bwd)
+
+
+def projector_tail_supported(n_tokens: int, dim: int, num_heads: int,
+                             window_shapes=(1, 1)) -> bool:
+    """Fused tail needs: no window partitioning, lane-aligned dims, and all
+    weights + per-sample activations within the VMEM limit."""
+    if tuple(window_shapes) != (1, 1):
+        return False
+    if n_tokens % 128 != 0 or dim % 128 != 0 or dim % num_heads != 0:
+        return False
+    hidden = 4 * dim
+    weight_bytes = (4 * dim * dim + 2 * dim * hidden) * 2
+    act_bytes = n_tokens * hidden * 4 + num_heads * n_tokens * n_tokens * 4
+    return weight_bytes + act_bytes <= 48 * 2 ** 20
