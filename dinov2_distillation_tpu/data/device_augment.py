@@ -289,6 +289,35 @@ def _crop_resize(img: jnp.ndarray, rect, out_size: int) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("crop_size", "scale", "num_ops", "magnitude", "num_bins"))
+def _augment_chunk(
+    images: jnp.ndarray,
+    rngs: jnp.ndarray,     # (B, key) per-sample keys
+    *,
+    crop_size: int,
+    scale: Tuple[float, float],
+    num_ops: int,
+    magnitude: int,
+    num_bins: int,
+):
+    b, h, w, _ = images.shape
+
+    def one(img, rng):
+        r_crop, r_flip, r_aug, r_erase = jax.random.split(rng, 4)
+        rect = _sample_crop(r_crop, h, w, scale)
+        out = _crop_resize(img.astype(jnp.float32), rect, crop_size)
+        out = jnp.clip(out, 0.0, 255.0)
+        out = jnp.where(jax.random.uniform(r_flip) < 0.5, out[:, ::-1], out)
+        out = _rand_augment_one(out, r_aug, num_ops=num_ops,
+                                magnitude=magnitude, num_bins=num_bins)
+        erase = _sample_erase(r_erase, crop_size, crop_size)
+        return jnp.round(out).astype(jnp.uint8), erase
+
+    return jax.vmap(one)(images, rngs)
+
+
+_AUGMENT_CHUNK = 32
+
+
 def augment_batch(
     images: jnp.ndarray,   # (B, H, W, 3) uint8 staged frames
     rng: jax.Array,
@@ -304,23 +333,29 @@ def augment_batch(
     Returns the same batch dict contract as the host pipeline
     ({'image': uint8, 'erase': int32 rects}) so train.state.preprocess_batch
     finishes the job (normalize + erase).
-    """
-    b, h, w, _ = images.shape
 
-    def one(img, rng):
-        r_crop, r_flip, r_aug, r_erase = jax.random.split(rng, 4)
-        rect = _sample_crop(r_crop, h, w, scale)
-        out = _crop_resize(img.astype(jnp.float32), rect, crop_size)
-        out = jnp.clip(out, 0.0, 255.0)
-        out = jnp.where(jax.random.uniform(r_flip) < 0.5, out[:, ::-1], out)
-        out = _rand_augment_one(out, r_aug, num_ops=num_ops,
-                                magnitude=magnitude, num_bins=num_bins)
-        erase = _sample_erase(r_erase, crop_size, crop_size)
-        return jnp.round(out).astype(jnp.uint8), erase
-
+    Dispatched in host-level chunks of 32 samples: the single-program
+    version (one vmap or a lax.map over chunks) faults the TPU worker at
+    B=256 — every 32-key chunk of the same key split passes in isolation,
+    so it is the whole-program scale, not any draw, that trips the
+    compiler. Separate dispatches bound the program size; outputs are
+    device-concatenated (results are bit-identical to the fused form since
+    per-sample keys are pre-split)."""
+    b = images.shape[0]
+    kw = dict(crop_size=crop_size, scale=tuple(scale), num_ops=num_ops,
+              magnitude=magnitude, num_bins=num_bins)
     rngs = jax.random.split(rng, b)
-    images_out, erase = jax.vmap(one)(images, rngs)
-    return {"image": images_out, "erase": erase}
+    if b <= _AUGMENT_CHUNK or b % _AUGMENT_CHUNK != 0:
+        images_out, erase = _augment_chunk(images, rngs, **kw)
+        return {"image": images_out, "erase": erase}
+    outs = [
+        _augment_chunk(images[i:i + _AUGMENT_CHUNK], rngs[i:i + _AUGMENT_CHUNK], **kw)
+        for i in range(0, b, _AUGMENT_CHUNK)
+    ]
+    return {
+        "image": jnp.concatenate([o[0] for o in outs]),
+        "erase": jnp.concatenate([o[1] for o in outs]),
+    }
 
 
 def _sample_erase(rng: jax.Array, height: int, width: int,
