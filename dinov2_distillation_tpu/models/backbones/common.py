@@ -67,6 +67,12 @@ class GroupedBatchNorm(nn.Module):
         # the cell before knowing `train`)
         if use_running_average is None:
             use_running_average = self.use_running_average
+        if use_running_average is None:
+            # mirror nn.BatchNorm: silently training (mutating running stats)
+            # when the mode was never specified is a footgun, not a default
+            raise ValueError(
+                "GroupedBatchNorm: use_running_average must be set either at "
+                "construction or at call time")
         c = x.shape[-1]
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((c,), jnp.float32))

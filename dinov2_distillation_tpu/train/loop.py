@@ -115,12 +115,16 @@ class DistillationTrainer:
         # --- models --------------------------------------------------------
         # BN statistics scope (reference: per-replica BN for non-timm
         # students, SyncBN only for timm — models/backbones/timm.py:273-274).
-        # Default sync (global-batch) BN; `train.sync_bn: false` restores
-        # per-replica semantics via grouped moments (one group per data
-        # shard), with no cross-device moment reduction.
+        # Default mirrors that: sync (global-batch) BN for the timm-origin
+        # families, per-replica grouped moments (one group per data shard,
+        # no cross-device moment reduction) otherwise; `train.sync_bn`
+        # overrides either way.
         from ..models.backbones.common import set_bn_groups
+        from ..models.zoo import family_id
 
-        self.sync_bn = bool(cfg.train.get("sync_bn", True))
+        _TIMM_FAMILIES = {"efficientnet", "edgenext", "mobilenetv3"}
+        sync_default = family_id(cfg.student.model_name) in _TIMM_FAMILIES
+        self.sync_bn = bool(cfg.train.get("sync_bn", sync_default))
         set_bn_groups(1 if self.sync_bn else n_data)
         if not self.sync_bn:
             logger.info(f"Per-replica BatchNorm: {n_data} stat groups")

@@ -21,6 +21,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import flax.struct
 import jax
+import jax.flatten_util  # explicit: plain `import jax` does not expose it
 import jax.numpy as jnp
 import optax
 

@@ -185,3 +185,47 @@ def test_vjp_bf16_no_worse_than_xla_path(data):
         e_fused = relerr(got, exact)
         e_ref = relerr(ref, exact)
         assert e_fused < 2 * e_ref + 2e-2, (e_fused, e_ref)
+
+
+def test_scalekd_integration_interpret_matches_unfused(monkeypatch, rng):
+    """ADVICE r2: exercise the full ScaleKD fused-tail integration — lifted-
+    vmap head, stacked params read via self.projectors.variables, key remap
+    to the kernel's tail tree — not just the kernel with hand-built trees.
+    DKT_FUSED_PROJ=interpret (CPU) must match DKT_FUSED_PROJ=0 in outputs
+    AND parameter gradients."""
+    from dinov2_distillation_tpu.losses.scalekd import ScaleKD
+
+    head = ScaleKD(
+        student_dim=16, teacher_dim=128, query_hw=(8, 16), pos_dim=128,
+        alpha=(0.08, 0.06), self_query=True, softmax_scale=(5.0, 5.0),
+        num_heads=4, dtype=jnp.float32,
+    )
+    s = jnp.asarray(rng.standard_normal((2, 8, 16, 16)).astype(np.float32))
+    t = jnp.asarray(rng.standard_normal((2, 8, 16, 128)).astype(np.float32))
+    monkeypatch.setenv("DKT_FUSED_PROJ", "0")
+    variables = head.init({"params": jax.random.PRNGKey(0)}, s, t, train=False)
+
+    def loss_of(params, mode):
+        monkeypatch.setenv("DKT_FUSED_PROJ", mode)
+        out = head.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            s, t, train=False)
+        return out["loss"], out
+
+    params = variables["params"]
+    (l0, out0), g0 = jax.value_and_grad(
+        lambda p: loss_of(p, "0"), has_aux=True)(params)
+    (l1, out1), g1 = jax.value_and_grad(
+        lambda p: loss_of(p, "interpret"), has_aux=True)(params)
+
+    np.testing.assert_allclose(float(l0), float(l1), rtol=5e-3)
+    for k in ("spatial_similarity", "frequency_similarity"):
+        np.testing.assert_allclose(float(out0[k]), float(out1[k]), rtol=5e-3)
+    flat0 = jax.tree_util.tree_leaves_with_path(g0)
+    flat1 = dict(jax.tree_util.tree_leaves_with_path(g1))
+    assert len(flat0) == len(flat1)
+    for path, leaf0 in flat0:
+        leaf1 = flat1[path]
+        n0 = float(jnp.linalg.norm(leaf0))
+        d = float(jnp.linalg.norm(leaf0 - leaf1))
+        assert d < 5e-2 * n0 + 1e-5, (jax.tree_util.keystr(path), d, n0)
