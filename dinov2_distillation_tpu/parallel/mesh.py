@@ -77,13 +77,22 @@ def shard_batch(batch, mesh: Mesh):
     sharding = batch_sharding(mesh)
     n_data = mesh.shape[DATA_AXIS]
 
-    def put(x):
+    def put(x, pad_zero=False):
         x = np.asarray(x)
         b = x.shape[0]
         if b % n_data:
             target = ((b + n_data - 1) // n_data) * n_data
-            reps = np.take(x, np.arange(target) % b, axis=0)
-            x = reps
+            if pad_zero:
+                x = np.concatenate(
+                    [x, np.zeros((target - b,) + x.shape[1:], x.dtype)])
+            else:
+                x = np.take(x, np.arange(target) % b, axis=0)
         return jax.make_array_from_process_local_data(sharding, x)
 
+    if isinstance(batch, dict):
+        # 'mask' marks sample validity: pads get 0, not wrapped duplicates,
+        # so downstream masked metrics ignore them (VERDICT r2 #10)
+        return {k: jax.tree_util.tree_map(
+                    lambda x, z=(k == "mask"): put(x, z), v)
+                for k, v in batch.items()}
     return jax.tree_util.tree_map(put, batch)

@@ -89,6 +89,7 @@ class DistillationModel(nn.Module):
         student_feats: Dict[str, jnp.ndarray],
         teacher_map: jnp.ndarray,
         train: bool = True,
+        sample_mask: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         """Composite loss (reference ``_compute_losses`` :180-246)."""
         total = jnp.asarray(0.0, jnp.float32)
@@ -107,6 +108,7 @@ class DistillationModel(nn.Module):
                 out = head(
                     student_feats[level], teacher_map,
                     query_s=spatial_query, query_f=frequency_query, train=train,
+                    sample_mask=sample_mask,
                 )
                 metrics[f"{name}_total_loss"] = out["loss"] * weight
                 metrics[f"{name}_frequency_loss"] = out["frequency_loss"] * weight
@@ -133,8 +135,10 @@ class DistillationModel(nn.Module):
             alpha0 = float(head.alpha[0])
             # Quirk: the "frequency" branch below res5 also uses the spatial
             # loss (reference :237) — no DCT/DC-removal at res4.
-            spat_loss, spat_sim = spatial_loss_fn(feat_spat, teacher_map, alpha0)
-            freq_loss, freq_sim = spatial_loss_fn(feat_freq, teacher_map, alpha0)
+            spat_loss, spat_sim = spatial_loss_fn(
+                feat_spat, teacher_map, alpha0, sample_mask)
+            freq_loss, freq_sim = spatial_loss_fn(
+                feat_freq, teacher_map, alpha0, sample_mask)
 
             metrics[f"{name}_total_loss"] = (spat_loss + freq_loss) * weight
             metrics[f"{name}_frequency_loss"] = freq_loss * weight
@@ -147,10 +151,11 @@ class DistillationModel(nn.Module):
         return total, metrics
 
     def __call__(
-        self, images: jnp.ndarray, train: bool = True
+        self, images: jnp.ndarray, train: bool = True,
+        sample_mask: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         student_feats, teacher_map = self.extract_features(images, train)
-        return self.compute_losses(student_feats, teacher_map, train)
+        return self.compute_losses(student_feats, teacher_map, train, sample_mask)
 
 
 def build_loss_specs(cfg) -> Tuple[Tuple[str, float, Dict[str, Any]], ...]:

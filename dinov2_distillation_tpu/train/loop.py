@@ -209,11 +209,16 @@ class DistillationTrainer:
 
         rng = jax.random.fold_in(
             jax.random.fold_in(self._aug_rng, stream), idx)
-        return augment_batch(
+        out = augment_batch(
             global_batch["image"], rng,
             crop_size=int(self.cfg.data_transform.global_crops_size[0]),
             scale=tuple(self.cfg.data_transform.global_crops_scale),
         )
+        # carry non-image keys (e.g. the val validity mask) through
+        for k, v in global_batch.items():
+            if k not in ("image", "erase"):
+                out[k] = v
+        return out
 
     def setup_state(self) -> None:
         if self.state is not None:
@@ -323,6 +328,12 @@ class DistillationTrainer:
         sums: Dict[str, float] = defaultdict(float)
         n = 0
         for i, batch in enumerate(self.val_loader):
+            # validity mask: 1 for real samples; shard_batch zero-pads it
+            # when wrap-padding to a data-axis multiple
+            batch = dict(batch)
+            batch["mask"] = np.ones(
+                len(batch["image"]) if hasattr(batch["image"], "__len__")
+                else batch["image"].shape[0], np.float32)
             global_batch = shard_batch(batch, self.mesh)
             if self.augment_on_device:
                 # parity: validation uses the stochastic train transform

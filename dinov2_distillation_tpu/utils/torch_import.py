@@ -312,7 +312,7 @@ def get_translator(model_name: str):
         from ..models.backbones.edgenext import _VARIANTS
 
         v = _VARIANTS[model_name]
-        return fam, T.make_edgenext_translator(v["depths"], (0, 1, 1, 1))
+        return fam, T.make_edgenext_translator(v["depths"], (0, 1, 1, 1))[0]
     if fam == "mobilenetv3":
         # timm-format layout (reference models/backbones/timm.py:270-274)
         size = "small" if "small" in model_name else "large"

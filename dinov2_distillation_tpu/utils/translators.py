@@ -708,7 +708,50 @@ def make_edgenext_translator(depths, global_blocks):
             return ("params", base + ("gamma",), None)
         return None
 
-    return translate
+    def inverse(path, collection):
+        if collection != "params":
+            return None
+        p0 = path[0]
+        if p0 == "stem_conv":
+            return f"stem.0.{'weight' if path[1] == 'kernel' else 'bias'}"
+        if p0 == "stem_norm":
+            return f"stem.1.{'weight' if path[1] == 'scale' else 'bias'}"
+        m = re.match(r"downsample_norm_(\d)", p0)
+        if m:
+            return f"stages.{m.group(1)}.downsample.0." + \
+                ("weight" if path[1] == "scale" else "bias")
+        m = re.match(r"downsample_conv_(\d)", p0)
+        if m:
+            return f"stages.{m.group(1)}.downsample.1." + \
+                ("weight" if path[1] == "kernel" else "bias")
+        m = re.match(r"stage(\d)_(conv|sdta)(\d+)", p0)
+        if not m:
+            return None
+        i = int(m.group(1))
+        j = int(m.group(3)) + (n_conv[i] if m.group(2) == "sdta" else 0)
+        prefix = f"stages.{i}.blocks.{j}"
+        rest = path[1:]
+        wb = lambda leaf, w="kernel": "weight" if leaf == w else "bias"  # noqa: E731
+        if rest[0] == "dwconv":
+            return f"{prefix}.conv_dw.{wb(rest[1])}"
+        m2 = re.match(r"dw_(\d)", rest[0])
+        if m2:
+            return f"{prefix}.convs.{m2.group(1)}.{wb(rest[1])}"
+        if rest[0] == "pos_embd":
+            return f"{prefix}.pos_embd.token_projection.{wb(rest[2])}"
+        if rest[0] in ("norm", "norm_xca"):
+            return f"{prefix}.{rest[0]}.{wb(rest[1], 'scale')}"
+        if rest[0] in ("pwconv1", "pwconv2"):
+            return f"{prefix}.mlp.fc{rest[0][-1]}.{wb(rest[1])}"
+        if rest[0] in ("gamma", "gamma_xca"):
+            return f"{prefix}.{rest[0]}"
+        if rest[0] == "xca":
+            if rest[1] == "temperature":
+                return f"{prefix}.xca.temperature"
+            return f"{prefix}.xca.{rest[1]}.{wb(rest[2])}"
+        return None
+
+    return translate, inverse
 
 
 # --------------------------------------------------------------------------

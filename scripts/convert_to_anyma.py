@@ -31,9 +31,17 @@ def main() -> None:
     p.add_argument("checkpoint", help="orbax checkpoint dir (…/checkpoints) or best/last subdir")
     p.add_argument("output", help="output .pkl path")
     p.add_argument("--which", choices=["best", "last"], default="best")
+    p.add_argument("--family", default=None,
+                   help="backbone family for key translation (e.g. resnet, "
+                        "stdc, convnext, swin, mit, darknet, presnet, "
+                        "mobilenet_v2, mobilenet_v3_small/large, "
+                        "mobilenetv3_small/large (timm layout), "
+                        "efficientnet, edgenext); inferred from the param "
+                        "tree when omitted")
     args = p.parse_args()
 
-    model = export_student_to_anyma(args.checkpoint, which=args.which)
+    model = export_student_to_anyma(
+        args.checkpoint, which=args.which, family=args.family)
     payload = {
         "model": {k: np.asarray(v) for k, v in model.items()},
         "__author__": "dinov2_distilled",

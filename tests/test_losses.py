@@ -127,3 +127,41 @@ def test_window_partition_changes_attention(rng):
     out_g = head_g.apply(variables, s, t, train=False)
     out_w = head_w.apply(variables, s, t, train=False)  # same params, windowed
     assert not np.isclose(float(out_g["loss"]), float(out_w["loss"]))
+
+
+def test_loss_fns_mask_invariant_to_padding(rng):
+    """VERDICT r2 #10: wrap-padded val batches must not bias metrics — the
+    masked reductions over a padded batch equal the unpadded ones."""
+    b, h, w, d = 5, 4, 4, 8
+    s = jnp.asarray(rng.standard_normal((b, h * w, d)).astype(np.float32))
+    t = jnp.asarray(rng.standard_normal((b, h, w, d)).astype(np.float32))
+    # wrap-pad to 8 the way parallel.mesh.shard_batch does
+    idx = np.arange(8) % b
+    s_pad, t_pad = s[idx], t[idx]
+    mask = jnp.asarray((np.arange(8) < b).astype(np.float32))
+
+    for fn in (spatial_loss_fn, frequency_loss_fn):
+        loss, sim = fn(s, t, 0.08)
+        loss_m, sim_m = fn(s_pad, t_pad, 0.08, mask)
+        np.testing.assert_allclose(float(loss), float(loss_m), rtol=1e-5)
+        np.testing.assert_allclose(float(sim), float(sim_m), rtol=1e-5)
+        # unmasked padded value IS biased (sanity that the test can fail)
+        loss_p, _ = fn(s_pad, t_pad, 0.08)
+        assert not np.isclose(float(loss), float(loss_p), rtol=1e-5)
+
+
+def test_shard_batch_zero_pads_mask(rng):
+    from dinov2_distillation_tpu.parallel.mesh import create_mesh, shard_batch
+
+    mesh = create_mesh()
+    batch = {
+        "image": rng.integers(0, 255, (5, 8, 8, 3)).astype(np.uint8),
+        "mask": np.ones(5, np.float32),
+    }
+    out = shard_batch(batch, mesh)
+    assert out["image"].shape[0] == 8
+    got = np.asarray(out["mask"])
+    np.testing.assert_array_equal(got, np.asarray([1, 1, 1, 1, 1, 0, 0, 0], np.float32))
+    # images wrap-pad (duplicate), not zero-pad
+    np.testing.assert_array_equal(
+        np.asarray(out["image"][5]), np.asarray(out["image"][0]))
