@@ -299,16 +299,25 @@ def _cubic_weight_rows(in_size: int, out_size: int, start, length) -> jnp.ndarra
     return w.T  # compute_weight_mat returns (in, out)
 
 
-def _batched_crop_resize(imgs: jnp.ndarray, rects, out_size: int) -> jnp.ndarray:
-    """(B, H, W, C) f32 + per-sample rects -> (B, out, out, C) bicubic.
+def _batched_crop_resize(imgs: jnp.ndarray, rects, out_size: int,
+                         flip=None, nchw: bool = False) -> jnp.ndarray:
+    """(B, H, W, C) f32 + per-sample rects -> (B, out, out, C) bicubic
+    (or (B, C, out, out) when ``nchw``).
 
     Two batched einsum contractions with per-sample weight matrices: the
     (out x in) weights are elementwise trace-time math, the resample itself
-    is MXU work — no per-sample gather/scatter programs."""
+    is MXU work — no per-sample gather/scatter programs. ``flip`` (B,) bool
+    folds RandomHorizontalFlip into the column weights for free (reversing
+    the output axis of wx == flipping after the resize)."""
     top, left, h, w = [r.astype(jnp.float32) for r in rects]
     hh, ww = imgs.shape[1], imgs.shape[2]
     wy = jax.vmap(lambda ln, st: _cubic_weight_rows(hh, out_size, st, ln))(h, top)
     wx = jax.vmap(lambda ln, st: _cubic_weight_rows(ww, out_size, st, ln))(w, left)
+    if flip is not None:
+        wx = jnp.where(flip[:, None, None], wx[:, ::-1, :], wx)
+    if nchw:
+        tmp = jnp.einsum("boh,bhwc->bcow", wy, imgs)
+        return jnp.einsum("box,bcyx->bcyo", wx, tmp)
     tmp = jnp.einsum("boh,bhwc->bowc", wy, imgs)
     return jnp.einsum("box,byxc->byoc", wx, tmp)
 
@@ -533,9 +542,38 @@ def _eq_capacity(batch: int) -> int:
     return min(batch, int(math.ceil(mean + 8.0 * sigma)))
 
 
+def _equalize_subset_nchw(img: jnp.ndarray, op_idx: jnp.ndarray,
+                          cap: int) -> jnp.ndarray:
+    """Equalize exactly the samples that drew op 13 (capacity-bounded
+    gather/scatter) on an NCHW bf16 batch — companion to the round kernel,
+    which passes op-13 programs through untouched."""
+    b = img.shape[0]
+    eq_mask = op_idx == _EQUAL
+    order = jnp.argsort(jnp.logical_not(eq_mask), stable=True)
+    idx = order[:min(b, cap)]
+    sub = jnp.take(img, idx, axis=0)
+    eq = _equalize_batch(sub.astype(jnp.float32).transpose(0, 2, 3, 1))
+    eq = eq.transpose(0, 3, 1, 2).astype(img.dtype)
+    valid = eq_mask[idx][:, None, None, None]
+    return img.at[idx].set(jnp.where(valid, eq, sub))
+
+
+def _draw_round(r_aug: jnp.ndarray, i: int, mags: jnp.ndarray):
+    """Per-round (op_idx, mag) draws — the shared key discipline for both
+    engine paths (fold(i) -> split -> randint, uniform sign)."""
+    r = jax.vmap(lambda k_: jax.random.fold_in(k_, i))(r_aug)
+    rs = jax.vmap(lambda k_: jax.random.split(k_))(r)
+    r_op, r_sign = rs[:, 0], rs[:, 1]
+    op_idx = jax.vmap(lambda k_: jax.random.randint(k_, (), 0, _N_OPS))(r_op)
+    u_sign = jax.vmap(jax.random.uniform)(r_sign)
+    sign = jnp.where((u_sign < 0.5) & (_SIGNED[op_idx] > 0), -1.0, 1.0)
+    return op_idx, mags[op_idx] * sign
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("crop_size", "scale", "num_ops", "magnitude", "num_bins"))
+    static_argnames=("crop_size", "scale", "num_ops", "magnitude", "num_bins",
+                     "kernel_mode"))
 def _augment_batch_impl(
     images: jnp.ndarray,
     rngs: jnp.ndarray,     # (B, key) per-sample keys
@@ -545,6 +583,7 @@ def _augment_batch_impl(
     num_ops: int,
     magnitude: int,
     num_bins: int,
+    kernel_mode: str = "off",
 ):
     b, h, w, _ = images.shape
 
@@ -554,32 +593,47 @@ def _augment_batch_impl(
     r_crop, r_flip, r_aug, r_erase = (keys4[:, i] for i in range(4))
 
     rects = jax.vmap(lambda r: _sample_crop(r, h, w, scale))(r_crop)
-    out = _batched_crop_resize(images.astype(jnp.float32), rects, crop_size)
-    out = jnp.clip(out, 0.0, 255.0)
     flip = jax.vmap(jax.random.uniform)(r_flip) < 0.5
-    out = jnp.where(flip[:, None, None, None], out[:, :, ::-1], out)
-    out = jnp.round(out)
 
     mags = _magnitude_table(num_bins, crop_size)[:, magnitude]     # (14,)
     maxs = _max_shift(crop_size, magnitude, num_bins)
     ecap = _eq_capacity(b)
+    erase = jax.vmap(lambda r: _sample_erase(r, crop_size, crop_size))(r_erase)
+
+    if kernel_mode != "off":
+        # Pallas path: NCHW bf16 storage (inter-round values are exact ints),
+        # flip folded into the resize weights, one kernel launch per round +
+        # the subset equalize scatter
+        from ..ops.augment_round import randaugment_round
+
+        out = _batched_crop_resize(images.astype(jnp.float32), rects,
+                                   crop_size, flip=flip, nchw=True)
+        out = jnp.round(jnp.clip(out, 0.0, 255.0)).astype(jnp.bfloat16)
+        rows = jnp.arange(crop_size, dtype=jnp.float32)
+        for i in range(num_ops):
+            op_idx, mag = _draw_round(r_aug, i, mags)
+            (ca, oa), (cb, ob), (cc, oc) = _warp_pass_params(
+                op_idx, mag, crop_size)
+            shifts = (ca[:, None] * rows + oa[:, None],
+                      cb[:, None] * rows + ob[:, None],
+                      cc[:, None] * rows + oc[:, None])
+            out = randaugment_round(out, op_idx, mag, shifts, maxs=maxs,
+                                    interpret=(kernel_mode == "interpret"))
+            out = _equalize_subset_nchw(out, op_idx, ecap)
+        return out.transpose(0, 2, 3, 1).astype(jnp.uint8), erase
+
+    out = _batched_crop_resize(images.astype(jnp.float32), rects, crop_size)
+    out = jnp.clip(out, 0.0, 255.0)
+    out = jnp.where(flip[:, None, None, None], out[:, :, ::-1], out)
+    out = jnp.round(out)
 
     for i in range(num_ops):
-        r = jax.vmap(lambda k_: jax.random.fold_in(k_, i))(r_aug)
-        rs = jax.vmap(lambda k_: jax.random.split(k_))(r)
-        r_op, r_sign = rs[:, 0], rs[:, 1]
-        op_idx = jax.vmap(
-            lambda k_: jax.random.randint(k_, (), 0, _N_OPS))(r_op)
-        u_sign = jax.vmap(jax.random.uniform)(r_sign)
-        sign = jnp.where((u_sign < 0.5) & (_SIGNED[op_idx] > 0), -1.0, 1.0)
-        mag = mags[op_idx] * sign
-
+        op_idx, mag = _draw_round(r_aug, i, mags)
         out = _warp_round(out, op_idx, mag, maxs)
         out = jnp.round(jnp.clip(out, 0.0, 255.0))
         out = _point_round(out, op_idx, mag, ecap)
         out = jnp.round(jnp.clip(out, 0.0, 255.0))
 
-    erase = jax.vmap(lambda r: _sample_erase(r, crop_size, crop_size))(r_erase)
     return out.astype(jnp.uint8), erase
 
 
@@ -598,12 +652,26 @@ def augment_batch(
     Returns the same batch dict contract as the host pipeline
     ({'image': uint8, 'erase': int32 rects}) so train.state.preprocess_batch
     finishes the job (normalize + erase). Per-sample keys are pre-split, so
-    results are independent of any internal batching."""
+    results are independent of any internal batching.
+
+    On TPU the per-round op dispatch runs as a predicated per-sample Pallas
+    kernel (ops/augment_round.py); DKT_AUG_KERNEL=0 forces the pure-XLA
+    batch engine, =interpret runs the kernel in interpret mode (CPU tests)."""
+    import os
+
     b = images.shape[0]
     rngs = jax.random.split(rng, b)
+    flag = os.environ.get("DKT_AUG_KERNEL", "1")
+    if flag == "0":
+        kernel_mode = "off"
+    elif flag == "interpret":
+        kernel_mode = "interpret"
+    else:
+        kernel_mode = "on" if jax.default_backend() == "tpu" else "off"
     out, erase = _augment_batch_impl(
         images, rngs, crop_size=crop_size, scale=tuple(scale),
-        num_ops=num_ops, magnitude=magnitude, num_bins=num_bins)
+        num_ops=num_ops, magnitude=magnitude, num_bins=num_bins,
+        kernel_mode=kernel_mode)
     return {"image": out, "erase": erase}
 
 

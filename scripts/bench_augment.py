@@ -104,3 +104,4 @@ def main():
 
 if __name__ == "__main__":
     main()
+# appended: quick kernel-vs-xla compare entry (used ad hoc)

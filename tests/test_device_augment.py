@@ -250,3 +250,24 @@ def test_point_round_equalize_subset(rng):
             np.testing.assert_array_equal(np.asarray(out[i]), np.asarray(want))
         else:
             np.testing.assert_array_equal(np.asarray(out[i]), np.asarray(imgs[i]))
+
+
+def test_round_kernel_interpret_matches_xla_engine(rng, monkeypatch):
+    """The Pallas per-sample round kernel (interpret mode) must reproduce the
+    XLA batch engine bit-for-bit: same two-stage shift math, same point-op
+    math, f32 compute with integer-valued bf16 storage (exact <= 255)."""
+    imgs = jnp.asarray(rng.integers(0, 256, (16, 48, 48, 3), dtype=np.uint8))
+    key = jax.random.PRNGKey(7)
+
+    monkeypatch.setenv("DKT_AUG_KERNEL", "0")
+    ref = da.augment_batch(imgs, key, crop_size=32, num_ops=6)
+    monkeypatch.setenv("DKT_AUG_KERNEL", "interpret")
+    got = da.augment_batch(imgs, key, crop_size=32, num_ops=6)
+
+    np.testing.assert_array_equal(np.asarray(got["erase"]), np.asarray(ref["erase"]))
+    a = np.asarray(got["image"]).astype(np.int32)
+    b = np.asarray(ref["image"]).astype(np.int32)
+    # identical math; allow isolated 1-LSB differences from fusion reassoc
+    diff = np.abs(a - b)
+    assert (diff <= 1).mean() > 0.9999, diff.max()
+    assert diff.max() <= 1, diff.max()
