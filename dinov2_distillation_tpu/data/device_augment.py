@@ -543,7 +543,7 @@ def _eq_capacity(batch: int) -> int:
 
 
 def _equalize_subset_nchw(img: jnp.ndarray, op_idx: jnp.ndarray,
-                          cap: int) -> jnp.ndarray:
+                          cap: int, kernel_mode: str = "off") -> jnp.ndarray:
     """Equalize exactly the samples that drew op 13 (capacity-bounded
     gather/scatter) on an NCHW bf16 batch — companion to the round kernel,
     which passes op-13 programs through untouched."""
@@ -552,6 +552,12 @@ def _equalize_subset_nchw(img: jnp.ndarray, op_idx: jnp.ndarray,
     order = jnp.argsort(jnp.logical_not(eq_mask), stable=True)
     idx = order[:min(b, cap)]
     sub = jnp.take(img, idx, axis=0)
+    if kernel_mode != "off":
+        from ..ops.equalize_kernel import equalize_subset
+
+        eq_all = equalize_subset(sub, eq_mask[idx],
+                                 interpret=(kernel_mode == "interpret"))
+        return img.at[idx].set(eq_all)
     eq = _equalize_batch(sub.astype(jnp.float32).transpose(0, 2, 3, 1))
     eq = eq.transpose(0, 3, 1, 2).astype(img.dtype)
     valid = eq_mask[idx][:, None, None, None]
@@ -609,17 +615,12 @@ def _augment_batch_impl(
         out = _batched_crop_resize(images.astype(jnp.float32), rects,
                                    crop_size, flip=flip, nchw=True)
         out = jnp.round(jnp.clip(out, 0.0, 255.0)).astype(jnp.bfloat16)
-        rows = jnp.arange(crop_size, dtype=jnp.float32)
         for i in range(num_ops):
             op_idx, mag = _draw_round(r_aug, i, mags)
-            (ca, oa), (cb, ob), (cc, oc) = _warp_pass_params(
-                op_idx, mag, crop_size)
-            shifts = (ca[:, None] * rows + oa[:, None],
-                      cb[:, None] * rows + ob[:, None],
-                      cc[:, None] * rows + oc[:, None])
+            shifts = _warp_pass_params(op_idx, mag, crop_size)
             out = randaugment_round(out, op_idx, mag, shifts, maxs=maxs,
                                     interpret=(kernel_mode == "interpret"))
-            out = _equalize_subset_nchw(out, op_idx, ecap)
+            out = _equalize_subset_nchw(out, op_idx, ecap, kernel_mode)
         return out.transpose(0, 2, 3, 1).astype(jnp.uint8), erase
 
     out = _batched_crop_resize(images.astype(jnp.float32), rects, crop_size)

@@ -94,95 +94,136 @@ def _shift_h_vm(x, shift, maxs: int):
     return out
 
 
-def _round_kernel(op_ref, mag_ref, sa_ref, sb_ref, sc_ref, img_ref, out_ref,
-                  *, maxs: int):
+def _round_kernel(op_ref, par_ref, img_ref, out_ref,
+                  *, maxs: int, branches: tuple):
     i = pl.program_id(0)
     op = op_ref[i, 0]
-    mag = mag_ref[i, 0]
-    x = img_ref[0].astype(_F32)                         # (3, H, W)
-    _, h, w = x.shape
+    mag = par_ref[i, 0]
+    _, h, w = img_ref.shape[1:]
+
+    def load():
+        return img_ref[0].astype(_F32)                  # (3, H, W)
 
     def store(v):
         out_ref[0] = jnp.round(jnp.clip(v, 0.0, 255.0)).astype(out_ref.dtype)
 
-    # default: identity (ops 0 and 13 pass through)
-    out_ref[0] = img_ref[0]
+    def gray_of(x):
+        return 0.299 * x[0] + 0.587 * x[1] + 0.114 * x[2]
 
-    @pl.when((op >= _da._SHEAR_X) & (op <= _da._ROTATE))
-    def _geo():
-        y = _shift_w_vm(x, sa_ref[0][:, None], maxs)
-        y = _shift_h_vm(y, sb_ref[0][None, :], maxs)
-        y = _shift_w_vm(y, sc_ref[0][:, None], maxs)
-        store(y)
+    # exactly one store per program: explicit pass-through branch for
+    # identity (0) and equalize (13, handled by the subset kernel)
+    @pl.when((op == 0) | (op == _da._EQUAL))
+    def _ident():
+        out_ref[0] = img_ref[0]
 
-    @pl.when(op == _da._BRIGHT)
-    def _bright():
-        store((1.0 + mag) * x)
+    if "geo" in branches:
+        @pl.when((op >= _da._SHEAR_X) & (op <= _da._ROTATE))
+        def _geo():
+            # shift tables built in-register from 6 scalars (one SMEM row):
+            # saves three per-program DMAs; iotas are layout-native
+            rows = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0).astype(_F32)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1).astype(_F32)
+            sa = par_ref[i, 1] * rows + par_ref[i, 2]
+            sb = par_ref[i, 3] * cols + par_ref[i, 4]
+            sc = par_ref[i, 5] * rows + par_ref[i, 6]
+            y = _shift_w_vm(load(), sa, maxs)
+            y = _shift_h_vm(y, sb, maxs)
+            y = _shift_w_vm(y, sc, maxs)
+            store(y)
 
-    gray = 0.299 * x[0] + 0.587 * x[1] + 0.114 * x[2]   # (H, W)
+    if "bright" in branches:
+        @pl.when(op == _da._BRIGHT)
+        def _bright():
+            store((1.0 + mag) * load())
 
-    @pl.when(op == _da._COLOR)
-    def _color():
-        store(gray[None] + (1.0 + mag) * (x - gray[None]))
+    if "color" in branches:
+        @pl.when(op == _da._COLOR)
+        def _color():
+            x = load()
+            gray = gray_of(x)
+            store(gray[None] + (1.0 + mag) * (x - gray[None]))
 
-    @pl.when(op == _da._CONTRAST)
-    def _contrast():
-        mean = jnp.round(jnp.sum(jnp.round(gray)) * (1.0 / (h * w)))
-        store(mean + (1.0 + mag) * (x - mean))
+    if "contrast" in branches:
+        @pl.when(op == _da._CONTRAST)
+        def _contrast():
+            x = load()
+            gray = gray_of(x)
+            mean = jnp.round(jnp.sum(jnp.round(gray)) * (1.0 / (h * w)))
+            store(mean + (1.0 + mag) * (x - mean))
 
-    @pl.when(op == _da._SHARP)
-    def _sharp():
-        p = jnp.pad(x, ((0, 0), (1, 1), (1, 1)))
-        acc = 5.0 * x
-        for dy, dx in ((0, 0), (0, 1), (0, 2), (1, 0), (1, 2),
-                       (2, 0), (2, 1), (2, 2)):
-            acc += p[:, dy:dy + h, dx:dx + w]
-        blur = acc * (1.0 / 13.0)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-        interior = ((rows > 0) & (rows < h - 1) & (cols > 0)
-                    & (cols < w - 1))[None]
-        sm = jnp.where(interior, blur, x)
-        store(sm + (1.0 + mag) * (x - sm))
+    if "sharp" in branches:
+        @pl.when(op == _da._SHARP)
+        def _sharp():
+            x = load()
+            p = jnp.pad(x, ((0, 0), (1, 1), (1, 1)))
+            acc = 5.0 * x
+            for dy, dx in ((0, 0), (0, 1), (0, 2), (1, 0), (1, 2),
+                           (2, 0), (2, 1), (2, 2)):
+                acc += p[:, dy:dy + h, dx:dx + w]
+            blur = acc * (1.0 / 13.0)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+            interior = ((rows > 0) & (rows < h - 1) & (cols > 0)
+                        & (cols < w - 1))[None]
+            sm = jnp.where(interior, blur, x)
+            store(sm + (1.0 + mag) * (x - sm))
 
-    @pl.when(op == _da._POSTER)
-    def _poster():
-        bits = jnp.clip(mag.astype(jnp.int32), 1, 8)
-        mask = (0xFF << (8 - bits)) & 0xFF
-        store((x.astype(jnp.int32) & mask).astype(_F32))
+    if "poster" in branches:
+        @pl.when(op == _da._POSTER)
+        def _poster():
+            # select-chain instead of a dynamic-amount shift (Mosaic-safe)
+            bits = jnp.clip(mag.astype(jnp.int32), 1, 8)
+            mask = jnp.int32(128)
+            for k, mv in enumerate((192, 224, 240, 248, 252, 254, 255)):
+                mask = jnp.where(bits == k + 2, mv, mask)
+            store((load().astype(jnp.int32) & mask).astype(_F32))
 
-    @pl.when(op == _da._SOLAR)
-    def _solar():
-        store(jnp.where(x >= jnp.floor(mag), 255.0 - x, x))
+    if "solar" in branches:
+        @pl.when(op == _da._SOLAR)
+        def _solar():
+            x = load()
+            store(jnp.where(x >= jnp.floor(mag), 255.0 - x, x))
 
-    @pl.when(op == _da._AUTOC)
-    def _autoc():
-        lo = jnp.min(x, axis=(1, 2), keepdims=True)
-        hi = jnp.max(x, axis=(1, 2), keepdims=True)
-        sc = jnp.where(hi > lo, 255.0 / (hi - lo), 1.0)
-        off = jnp.where(hi > lo, -lo * sc, 0.0)
-        store(x * sc + off)
+    if "autoc" in branches:
+        @pl.when(op == _da._AUTOC)
+        def _autoc():
+            # per-channel scalar reductions + slice stores: the (3,1,1)
+            # keepdims layout of a multi-axis reduce aborts the remote
+            # Mosaic compiler (bisected r3)
+            for cc in range(3):
+                xc = img_ref[0, cc].astype(_F32)
+                lo = jnp.min(xc)
+                hi = jnp.max(xc)
+                sc = jnp.where(hi > lo, 255.0 / (hi - lo), 1.0)
+                off = jnp.where(hi > lo, -lo * sc, 0.0)
+                out_ref[0, cc] = jnp.round(
+                    jnp.clip(xc * sc + off, 0.0, 255.0)).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("maxs", "interpret"))
+_ALL_BRANCHES = ("geo", "bright", "color", "contrast", "sharp", "poster",
+                 "solar", "autoc")
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("maxs", "interpret", "branches"))
 def randaugment_round(imgs: jnp.ndarray, op_idx: jnp.ndarray,
                       mag: jnp.ndarray, shifts: Tuple[jnp.ndarray, ...],
-                      *, maxs: int, interpret: bool = False) -> jnp.ndarray:
+                      *, maxs: int, interpret: bool = False,
+                      branches: tuple = _ALL_BRANCHES) -> jnp.ndarray:
     """imgs (B, 3, H, W) bf16 integer-valued; one RandAugment round for ops
     0-12 (equalize handled by the caller's subset path). ``shifts`` =
-    (sa (B,H), sb (B,W), sc (B,H)) f32 pass tables."""
+    ((coef_a, off_a), (coef_b, off_b), (coef_c, off_c)) per-sample scalars
+    of the three shift passes (shift = coef * index + off)."""
     b, c, h, w = imgs.shape
-    sa, sb, sc = shifts
-    grid = (b,)
+    (ca, oa), (cb, ob), (cc_, oc) = shifts
+    params = jnp.stack(
+        [mag.astype(_F32), ca, oa, cb, ob, cc_, oc], axis=1)      # (B, 7)
     out = pl.pallas_call(
-        functools.partial(_round_kernel, maxs=maxs),
-        grid=grid,
+        functools.partial(_round_kernel, maxs=maxs, branches=branches),
+        grid=(b,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                    # op
-            pl.BlockSpec(memory_space=pltpu.SMEM),                    # mag
-            pl.BlockSpec((1, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),                    # params
             pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -190,8 +231,7 @@ def randaugment_round(imgs: jnp.ndarray, op_idx: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, c, h, w), imgs.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("parallel",)),
         interpret=interpret,
-    )(op_idx.astype(jnp.int32).reshape(b, 1),
-      mag.astype(_F32).reshape(b, 1), sa, sb, sc, imgs)
+    )(op_idx.astype(jnp.int32).reshape(b, 1), params.astype(_F32), imgs)
     return out

@@ -101,6 +101,18 @@ def main():
         im, jnp.broadcast_to(mag[:, None] * 50, (B, 224)), maxs, 2))
     timed(onepass, (imgs224,), label="shift1")
 
+    from dinov2_distillation_tpu.ops.augment_round import randaugment_round
+    nchw = jnp.asarray(
+        rng.integers(0, 256, (B, 3, 224, 224)).astype(np.float32),
+        jnp.bfloat16)
+    za = jnp.zeros((B,), jnp.float32)
+    roundk = jax.jit(lambda im: randaugment_round(
+        im, op_idx, mag, ((za, za), (za, za), (za, za)), maxs=maxs))
+    timed(roundk, (nchw,), label="round_k")
+
+    eqsub = jax.jit(lambda im: da._equalize_subset_nchw(im, op_idx, ecap))
+    timed(eqsub, (nchw,), label="eqsub")
+
 
 if __name__ == "__main__":
     main()
