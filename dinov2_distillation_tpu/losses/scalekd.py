@@ -61,6 +61,43 @@ def _masked_batch_stats(sq_err: jnp.ndarray, cos: jnp.ndarray, alpha: float,
     return jnp.sum(sq_err * m) / denom * alpha, jnp.sum(cos * m) / denom
 
 
+def fused_loss_mode(n_tokens: int, dim: int) -> str:
+    """Resolve the fused spatial/freq loss path (ops/scalekd_loss.py):
+    DKT_FUSED_LOSS=0 forces XLA, =interpret runs the kernel on CPU for
+    tests, default uses the kernel on TPU when shapes are lane-aligned."""
+    import os
+
+    from ..ops.scalekd_loss import loss_fusion_supported
+
+    flag = os.environ.get("DKT_FUSED_LOSS", "1")
+    if flag == "0" or not loss_fusion_supported(n_tokens, dim):
+        return "off"
+    if flag == "interpret":
+        return "interpret"
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    return "on" if on_tpu else "off"
+
+
+def fused_pair_losses(pair: jnp.ndarray, teacher_map: jnp.ndarray,
+                      alphas, freq_flags, mode: str):
+    """(2, B, N, D) branch pair + (B, H, W, D) teacher -> per-branch
+    (loss, similarity) via the fused kernel (reference math
+    losses/scalekd.py:67-127; scaling sum/B*alpha, mean cosine)."""
+    from ..ops.scalekd_loss import pair_loss_sums
+
+    b, h, w, d = teacher_map.shape
+    n = h * w
+    tmap = teacher_map.astype(jnp.float32).reshape(b, n, d)
+    sums = pair_loss_sums(pair, tmap, tuple(freq_flags), mode == "interpret")
+    out = []
+    for k in range(2):
+        out.append((sums[k, 0] / b * alphas[k], sums[k, 1] / (b * n)))
+    return out
+
+
 def spatial_loss_fn(
     student_tokens: jnp.ndarray, teacher_map: jnp.ndarray, alpha: float,
     sample_mask: Optional[jnp.ndarray] = None,
@@ -435,11 +472,17 @@ class ScaleKD(nn.Module):
             raise ValueError("query_s and query_f must both be given or both None")
         queries = None if query_s is None else jnp.stack([query_s, query_f])
         pair = self.project_pair(preds_S, queries, train=train)
-        s_spat, s_freq = pair[0], pair[1]
-        spat_loss, spat_sim = spatial_loss_fn(
-            s_spat, preds_T, self.alpha[0], sample_mask)
-        freq_loss, freq_sim = frequency_loss_fn(
-            s_freq, preds_T, self.alpha[1], sample_mask)
+        mode = fused_loss_mode(pair.shape[2], preds_T.shape[-1]) \
+            if sample_mask is None else "off"
+        if mode != "off":
+            (spat_loss, spat_sim), (freq_loss, freq_sim) = fused_pair_losses(
+                pair, preds_T, self.alpha, (0, 1), mode)
+        else:
+            s_spat, s_freq = pair[0], pair[1]
+            spat_loss, spat_sim = spatial_loss_fn(
+                s_spat, preds_T, self.alpha[0], sample_mask)
+            freq_loss, freq_sim = frequency_loss_fn(
+                s_freq, preds_T, self.alpha[1], sample_mask)
         return {
             "spatial_loss": spat_loss,
             "frequency_loss": freq_loss,

@@ -135,10 +135,19 @@ class DistillationModel(nn.Module):
             alpha0 = float(head.alpha[0])
             # Quirk: the "frequency" branch below res5 also uses the spatial
             # loss (reference :237) — no DCT/DC-removal at res4.
-            spat_loss, spat_sim = spatial_loss_fn(
-                feat_spat, teacher_map, alpha0, sample_mask)
-            freq_loss, freq_sim = spatial_loss_fn(
-                feat_freq, teacher_map, alpha0, sample_mask)
+            from ..losses.scalekd import fused_loss_mode, fused_pair_losses
+
+            mode = fused_loss_mode(pair.shape[2], teacher_map.shape[-1]) \
+                if sample_mask is None else "off"
+            if mode != "off":
+                (spat_loss, spat_sim), (freq_loss, freq_sim) = \
+                    fused_pair_losses(pair, teacher_map, (alpha0, alpha0),
+                                      (0, 0), mode)
+            else:
+                spat_loss, spat_sim = spatial_loss_fn(
+                    feat_spat, teacher_map, alpha0, sample_mask)
+                freq_loss, freq_sim = spatial_loss_fn(
+                    feat_freq, teacher_map, alpha0, sample_mask)
 
             metrics[f"{name}_total_loss"] = (spat_loss + freq_loss) * weight
             metrics[f"{name}_frequency_loss"] = freq_loss * weight

@@ -165,3 +165,78 @@ def test_shard_batch_zero_pads_mask(rng):
     # images wrap-pad (duplicate), not zero-pad
     np.testing.assert_array_equal(
         np.asarray(out["image"][5]), np.asarray(out["image"][0]))
+
+
+def test_fused_pair_loss_matches_xla(rng):
+    """ops/scalekd_loss kernel (interpret): forward sums and input gradients
+    must match the XLA spatial/frequency loss fns."""
+    from dinov2_distillation_tpu.losses.scalekd import fused_pair_losses
+
+    b, h, w, d = 3, 4, 4, 128
+    pair = jnp.asarray(rng.standard_normal((2, b, h * w, d)).astype(np.float32))
+    t = jnp.asarray(rng.standard_normal((b, h, w, d)).astype(np.float32))
+    alphas = (0.08, 0.06)
+
+    def fused(pair_):
+        (l0, s0), (l1, s1) = fused_pair_losses(pair_, t, alphas, (0, 1),
+                                               "interpret")
+        return l0 + l1, (l0, l1, s0, s1)
+
+    def ref(pair_):
+        l0, s0 = spatial_loss_fn(pair_[0], t, alphas[0])
+        l1, s1 = frequency_loss_fn(pair_[1], t, alphas[1])
+        return l0 + l1, (l0, l1, s0, s1)
+
+    (lf, auxf), gf = jax.value_and_grad(fused, has_aux=True)(pair)
+    (lr, auxr), gr = jax.value_and_grad(ref, has_aux=True)(pair)
+    for a, b_ in zip(auxf, auxr):
+        np.testing.assert_allclose(float(a), float(b_), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               rtol=1e-4, atol=1e-6)
+
+    # spatial-only flags (the res4 cascade path)
+    def fused_sp(pair_):
+        (l0, _), (l1, _) = fused_pair_losses(pair_, t, (0.08, 0.08), (0, 0),
+                                             "interpret")
+        return l0 + l1
+
+    def ref_sp(pair_):
+        l0, _ = spatial_loss_fn(pair_[0], t, 0.08)
+        l1, _ = spatial_loss_fn(pair_[1], t, 0.08)
+        return l0 + l1
+
+    np.testing.assert_allclose(float(fused_sp(pair)), float(ref_sp(pair)), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(jax.grad(fused_sp)(pair)),
+                               np.asarray(jax.grad(ref_sp)(pair)),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_fused_pair_loss_cos_cotangent(rng):
+    """The cosine output's VJP path is faithful too (even though training
+    only differentiates the sq term)."""
+    from dinov2_distillation_tpu.ops.scalekd_loss import pair_loss_sums
+
+    b, n, d = 2, 16, 128
+    pair = jnp.asarray(rng.standard_normal((2, b, n, d)).astype(np.float32))
+    t = jnp.asarray(rng.standard_normal((b, n, d)).astype(np.float32))
+
+    def cos_sum(pair_):
+        return jnp.sum(pair_loss_sums(pair_, t, (0, 1), True)[:, 1])
+
+    def cos_ref(pair_):
+        outs = []
+        for k, freq in enumerate((False, True)):
+            s = pair_[k]
+            tt = t
+            if freq:
+                s = s - jnp.mean(s, axis=1, keepdims=True)
+                tt = t - jnp.mean(t, axis=1, keepdims=True)
+            sn = s / jnp.maximum(jnp.linalg.norm(s, axis=-1, keepdims=True), 1e-12)
+            tn = tt / jnp.maximum(jnp.linalg.norm(tt, axis=-1, keepdims=True), 1e-12)
+            outs.append(jnp.sum(sn * tn))
+        return outs[0] + outs[1]
+
+    np.testing.assert_allclose(float(cos_sum(pair)), float(cos_ref(pair)), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(jax.grad(cos_sum)(pair)),
+                               np.asarray(jax.grad(cos_ref)(pair)),
+                               rtol=1e-4, atol=1e-6)
