@@ -39,54 +39,61 @@ from jax.experimental.pallas import tpu as pltpu
 _F32 = jnp.float32
 
 
+def equalize_one_sample(img_ref, out_ref, sample: int, chunk: int) -> None:
+    """Equalize sample ``sample`` of an NCHW block: reads
+    ``img_ref[sample]``, writes ``out_ref[sample]``. Shared by the subset
+    kernel below and the grouped RandAugment round kernel."""
+    c, h, w = img_ref.shape[1:]
+    total = float(h * w)
+    iota3 = jax.lax.broadcasted_iota(jnp.int32, (256, 1, 1), 0).astype(_F32)
+    # Mosaic can't broadcast one operand along sublanes AND lanes in a
+    # single op: pre-expand the bin iota along lanes first
+    iota_w = iota3 + jnp.zeros((256, 1, w), _F32)        # (256, 1, W)
+    for cc in range(c):
+        pix = img_ref[sample, cc].astype(_F32)           # (H, W) ints
+
+        def hist_body(j, acc):
+            blk = img_ref[sample, cc, pl.ds(j * chunk, chunk), :] \
+                .astype(_F32)[None]                      # (1, chunk, W)
+            cmp = (blk == iota_w).astype(_F32)           # (256, chunk, W)
+            return acc + jnp.sum(cmp, axis=1, keepdims=True)
+
+        # rolled loop: the unrolled form kept every chunk temp live and
+        # blew the 128M VMEM budget
+        acc = jax.lax.fori_loop(0, h // chunk, hist_body,
+                                jnp.zeros((256, 1, w), _F32))
+        hist = jnp.sum(acc, axis=2, keepdims=True)       # (256, 1, 1)
+        incl = hist
+        for k in (1, 2, 4, 8, 16, 32, 64, 128):
+            incl = incl + jnp.pad(incl, ((k, 0), (0, 0), (0, 0)))[:256]
+        n = incl - hist                                  # exclusive cumsum
+        maxv = jnp.max(pix)
+        h_last = jnp.sum((pix == maxv).astype(_F32))
+        step = jnp.floor((total - h_last) * (1.0 / 255.0))
+        lut = jnp.floor((jnp.floor(step * 0.5) + n) /
+                        jnp.maximum(step, 1.0))
+        lut = jnp.where(step > 0.0, jnp.clip(lut, 0.0, 255.0), iota3)
+        lut_w = lut + jnp.zeros((256, 1, w), _F32)       # (256, 1, W)
+
+        def apply_body(j, carry):
+            blk = img_ref[sample, cc, pl.ds(j * chunk, chunk), :] \
+                .astype(_F32)[None]
+            cmp = (blk == iota_w).astype(_F32)
+            sel = jnp.sum(cmp * lut_w, axis=0)           # (chunk, W)
+            out_ref[sample, cc, pl.ds(j * chunk, chunk), :] = \
+                sel.astype(out_ref.dtype)
+            return carry
+
+        jax.lax.fori_loop(0, h // chunk, apply_body, 0)
+
+
 def _equalize_kernel(valid_ref, img_ref, out_ref, *, chunk: int):
     i = pl.program_id(0)
     out_ref[0] = img_ref[0]  # pass-through default
 
     @pl.when(valid_ref[i, 0] > 0)
     def _eq():
-        c, h, w = img_ref.shape[1:]
-        total = float(h * w)
-        iota3 = jax.lax.broadcasted_iota(jnp.int32, (256, 1, 1), 0).astype(_F32)
-        # Mosaic can't broadcast one operand along sublanes AND lanes in a
-        # single op: pre-expand the bin iota along lanes first
-        iota_w = iota3 + jnp.zeros((256, 1, w), _F32)        # (256, 1, W)
-        for cc in range(c):
-            pix = img_ref[0, cc].astype(_F32)                # (H, W) ints
-
-            def hist_body(j, acc):
-                blk = img_ref[0, cc, pl.ds(j * chunk, chunk), :] \
-                    .astype(_F32)[None]                      # (1, chunk, W)
-                cmp = (blk == iota_w).astype(_F32)           # (256, chunk, W)
-                return acc + jnp.sum(cmp, axis=1, keepdims=True)
-
-            # rolled loop: the unrolled form kept every chunk temp live and
-            # blew the 128M VMEM budget
-            acc = jax.lax.fori_loop(0, h // chunk, hist_body,
-                                    jnp.zeros((256, 1, w), _F32))
-            hist = jnp.sum(acc, axis=2, keepdims=True)       # (256, 1, 1)
-            incl = hist
-            for k in (1, 2, 4, 8, 16, 32, 64, 128):
-                incl = incl + jnp.pad(incl, ((k, 0), (0, 0), (0, 0)))[:256]
-            n = incl - hist                                  # exclusive cumsum
-            maxv = jnp.max(pix)
-            h_last = jnp.sum((pix == maxv).astype(_F32))
-            step = jnp.floor((total - h_last) * (1.0 / 255.0))
-            lut = jnp.floor((jnp.floor(step * 0.5) + n) /
-                            jnp.maximum(step, 1.0))
-            lut = jnp.where(step > 0.0, jnp.clip(lut, 0.0, 255.0), iota3)
-            lut_w = lut + jnp.zeros((256, 1, w), _F32)       # (256, 1, W)
-
-            def apply_body(j, carry):
-                blk = img_ref[0, cc, pl.ds(j * chunk, chunk), :] \
-                    .astype(_F32)[None]
-                cmp = (blk == iota_w).astype(_F32)
-                sel = jnp.sum(cmp * lut_w, axis=0)           # (chunk, W)
-                out_ref[0, cc, pl.ds(j * chunk, chunk), :] = \
-                    sel.astype(out_ref.dtype)
-                return carry
-
-            jax.lax.fori_loop(0, h // chunk, apply_body, 0)
+        equalize_one_sample(img_ref, out_ref, 0, chunk)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
