@@ -114,11 +114,69 @@ class DeviceFrameCache:
         for b in range(nb):
             chunk = idx[b * self.batch_size:(b + 1) * self.batch_size]
             if len(chunk) < self.batch_size:
-                chunk = np.concatenate(
-                    [chunk, idx[:self.batch_size - len(chunk)]])
+                pad = np.take(idx, np.arange(self.batch_size - len(chunk))
+                              % self.n, mode="wrap")
+                chunk = np.concatenate([chunk, pad])
             yield jnp.asarray(chunk, jnp.int32)
 
     def take(self, indices: jnp.ndarray) -> jnp.ndarray:
         """(B,) indices -> (B, S, S, 3) uint8 staged frames (device gather —
         row-major DMA, call under jit fused with the augmentation)."""
         return jnp.take(self.frames, indices, axis=0)
+
+
+class CachedLoader:
+    """DataLoader facade over a DeviceFrameCache: yields DEVICE-resident
+    batches ({'image': (B,S,S,3) uint8, 'erase': zeros[, 'mask']}) — the
+    trainer skips host sharding for these (``device_resident``). The erase
+    placeholder is replaced by the device augmentation, which samples its
+    own rects (device_augment.augment_batch)."""
+
+    device_resident = True
+
+    def __init__(self, cache: DeviceFrameCache, with_mask: bool = False):
+        self.cache = cache
+        self.with_mask = with_mask
+
+    def __len__(self) -> int:
+        return len(self.cache)
+
+    def set_epoch(self, epoch: int) -> None:
+        self.cache.set_epoch(epoch)
+
+    def __iter__(self):
+        bsz = self.cache.batch_size
+        idx_all = self.cache.epoch_indices()
+        n = self.cache.n
+        for b in range(len(self.cache)):
+            chunk = idx_all[b * bsz:(b + 1) * bsz]
+            real = len(chunk)
+            if real < bsz:
+                pad = np.take(idx_all, np.arange(bsz - real) % n)
+                chunk = np.concatenate([chunk, pad])
+            img = self.cache.take(jnp.asarray(chunk, jnp.int32))
+            batch = {"image": img,
+                     "erase": jnp.zeros((bsz, 4), jnp.int32)}
+            if self.with_mask:
+                batch["mask"] = jnp.asarray(
+                    (np.arange(bsz) < real).astype(np.float32))
+            yield batch
+
+
+def build_cached_loaders(cfg, transform, seed: int = 42):
+    """Train/val CachedLoaders per the config (``data_loader.cache: device``).
+    Single-process only: the cache is per-host HBM."""
+    import jax as _jax
+
+    if _jax.process_count() > 1:
+        raise ValueError("data_loader.cache=device is single-host; use the "
+                         "streaming DataLoader for multi-host runs")
+    from .loader import build_datasets
+
+    train_ds, val_ds = build_datasets(cfg, seed)
+    bsz = int(cfg.data_loader.batch_size)
+    train_cache = DeviceFrameCache(train_ds, transform, batch_size=bsz,
+                                   shuffle=True, seed=seed, drop_last=True)
+    val_cache = DeviceFrameCache(val_ds, transform, batch_size=bsz,
+                                 shuffle=False, seed=seed + 1, drop_last=False)
+    return CachedLoader(train_cache), CachedLoader(val_cache, with_mask=True)

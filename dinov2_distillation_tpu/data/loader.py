@@ -129,10 +129,9 @@ class DataLoader:
                     break
 
 
-def build_loaders(cfg, transform, *, process_index: int = 0, process_count: int = 1,
-                  seed: int = 42):
-    """Datamodule-equivalent: train/val loaders from the config
-    (reference CustomDataModule:106-182 + train.py:144-165)."""
+def build_datasets(cfg, seed: int = 42):
+    """Train/val dataset pair from the config (reference
+    CustomDataModule:106-182: flat dirs or the seeded 99/1 split)."""
     from .dataset import ImageFolderDataset, SyntheticDataset, train_val_split
 
     dl_cfg = cfg.data_loader
@@ -149,6 +148,15 @@ def build_loaders(cfg, transform, *, process_index: int = 0, process_count: int 
             train_ds, val_ds = train_val_split(full, 0.99, seed=seed)
         else:
             train_ds, val_ds = full, ImageFolderDataset(val_dir)
+    return train_ds, val_ds
+
+
+def build_loaders(cfg, transform, *, process_index: int = 0, process_count: int = 1,
+                  seed: int = 42):
+    """Datamodule-equivalent: train/val loaders from the config
+    (reference CustomDataModule:106-182 + train.py:144-165)."""
+    dl_cfg = cfg.data_loader
+    train_ds, val_ds = build_datasets(cfg, seed)
 
     common = dict(
         transform=transform,

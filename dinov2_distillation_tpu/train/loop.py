@@ -105,10 +105,25 @@ class DistillationTrainer:
         per_host = self.global_batch // self.process_count
         data_cfg = cfg.clone()
         data_cfg.data_loader.batch_size = per_host
-        self.train_loader, self.val_loader = build_loaders(
-            data_cfg, self.transform,
-            process_index=self.process_index, process_count=self.process_count,
-        )
+        cache_mode = str(cfg.data_loader.get("cache", "none")).lower()
+        if (self.augment_on_device and cache_mode == "device"
+                and self.process_count == 1):
+            # dataset lives in HBM; batches are on-device gathers (r3: this
+            # host decodes ~365 img/s and its H2D link is ~0.03 GB/s — both
+            # starve the chip; see data/device_cache.py)
+            from ..data.device_cache import build_cached_loaders
+
+            self.train_loader, self.val_loader = build_cached_loaders(
+                data_cfg, self.transform)
+        else:
+            if cache_mode == "device" and not self.augment_on_device:
+                logger.warning("data_loader.cache=device requires "
+                               "augment_on_device; using the streaming loader")
+            self.train_loader, self.val_loader = build_loaders(
+                data_cfg, self.transform,
+                process_index=self.process_index,
+                process_count=self.process_count,
+            )
         logger.info(f"Batches/epoch: train={len(self.train_loader)} "
                     f"val={len(self.val_loader)} (global batch {self.global_batch})")
 
@@ -298,8 +313,9 @@ class DistillationTrainer:
         self.train_loader.set_epoch(epoch)
         meter = ThroughputMeter()
         last: Dict[str, float] = {}
+        device_fed = getattr(self.train_loader, "device_resident", False)
         for i, batch in enumerate(self.train_loader):
-            global_batch = shard_batch(batch, self.mesh)
+            global_batch = batch if device_fed else shard_batch(batch, self.mesh)
             if self.augment_on_device:
                 global_batch = self._augment_on_device(
                     global_batch, stream=0, idx=epoch * len(self.train_loader) + i)
@@ -327,14 +343,15 @@ class DistillationTrainer:
         self.val_loader.set_epoch(epoch)
         sums: Dict[str, float] = defaultdict(float)
         n = 0
+        device_fed = getattr(self.val_loader, "device_resident", False)
         for i, batch in enumerate(self.val_loader):
             # validity mask: 1 for real samples; shard_batch zero-pads it
-            # when wrap-padding to a data-axis multiple
+            # when wrap-padding to a data-axis multiple (CachedLoader yields
+            # its own wrap mask)
             batch = dict(batch)
-            batch["mask"] = np.ones(
-                len(batch["image"]) if hasattr(batch["image"], "__len__")
-                else batch["image"].shape[0], np.float32)
-            global_batch = shard_batch(batch, self.mesh)
+            if "mask" not in batch:
+                batch["mask"] = np.ones(batch["image"].shape[0], np.float32)
+            global_batch = batch if device_fed else shard_batch(batch, self.mesh)
             if self.augment_on_device:
                 # parity: validation uses the stochastic train transform
                 global_batch = self._augment_on_device(

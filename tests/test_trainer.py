@@ -155,3 +155,24 @@ def test_plateau_opt_state_roundtrip():
     assert ctl is not None
     controller, monitor, freq = ctl
     assert monitor == "val_loss" and freq == 1
+
+
+def test_fit_with_device_cache(tmp_path):
+    """augment_on_device + data_loader.cache=device: the trainer feeds
+    device-resident cached batches (no host sharding) through the device
+    augmentation and completes an epoch with val metrics."""
+    log_root = str(tmp_path / "logs")
+    cfg = _smoke_cfg([
+        "train.max_epochs=1",
+        "data_loader.synthetic_size=96",
+        "data_loader.augment_on_device=true",
+        "data_loader.cache=device",
+        "data_loader.staging_size=64",
+        "data_transform.global_crops_size=[56, 56]",
+        "train.log_every_n_steps=1",
+    ])
+    trainer = DistillationTrainer(cfg, log_root=log_root)
+    assert getattr(trainer.train_loader, "device_resident", False)
+    val_metrics = trainer.fit()
+    assert MONITOR in val_metrics
+    assert np.isfinite(val_metrics[MONITOR])
