@@ -63,11 +63,19 @@ class DataLoader:
             order = np.random.default_rng((self.seed, self.epoch)).permutation(n)
         else:
             order = np.arange(n)
+        if self.process_count > 1:
+            # wrap-pad so every host gets the SAME sample count (torch
+            # DistributedSampler semantics) — unequal per-host batch counts
+            # desync the cross-host collectives in the jitted step (found by
+            # scripts/multihost_smoke.py, r3)
+            per = (n + self.process_count - 1) // self.process_count
+            order = np.take(order, np.arange(per * self.process_count) % n)
         return order[self.process_index::self.process_count]
 
     def __len__(self) -> int:
-        n_local = (len(self.dataset) + self.process_count - 1 - self.process_index) \
-            // self.process_count
+        n = len(self.dataset)
+        n_local = ((n + self.process_count - 1) // self.process_count
+                   if self.process_count > 1 else n)
         if self.drop_last:
             return n_local // self.batch_size
         return (n_local + self.batch_size - 1) // self.batch_size
