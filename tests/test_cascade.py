@@ -27,6 +27,7 @@ def _model(levels, depth=8):
                              loss_specs=specs, dtype=jnp.float32)
 
 
+@pytest.mark.slow
 def test_three_level_cascade(rng):
     """res3 -> res4 -> res5 chains queries through teacher-block suffixes and
     emits per-level metrics; break after res5."""
@@ -43,6 +44,7 @@ def test_three_level_cascade(rng):
     np.testing.assert_allclose(float(loss), want, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_res5_break_skips_levels_after(rng):
     """Sorted iteration breaks after the res5 head: with heads named res5 and
     res6(!), res6 sorts after res5 and must be ignored
@@ -67,6 +69,7 @@ def test_res5_break_skips_levels_after(rng):
     assert not any(k.startswith("scalekd_res6") for k in metrics)
 
 
+@pytest.mark.slow
 def test_cascade_queries_affect_res5(rng):
     """The res5 projectors must consume the res4 cascade outputs: zeroing the
     res4 head's influence changes the res5 losses."""

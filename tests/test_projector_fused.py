@@ -150,6 +150,7 @@ def test_vjp_parity_fp32_exact(data):
         assert e < 1e-4, (name, e)
 
 
+@pytest.mark.slow
 def test_vjp_bf16_no_worse_than_xla_path(data):
     """bf16 gradients: the kernel's rounding (fp32 chains, bf16 matmul
     operands) must track the exact fp32 gradient at least as well as the
@@ -187,6 +188,7 @@ def test_vjp_bf16_no_worse_than_xla_path(data):
         assert e_fused < 2 * e_ref + 2e-2, (e_fused, e_ref)
 
 
+@pytest.mark.slow
 def test_scalekd_integration_interpret_matches_unfused(monkeypatch, rng):
     """ADVICE r2: exercise the full ScaleKD fused-tail integration — lifted-
     vmap head, stacked params read via self.projectors.variables, key remap
