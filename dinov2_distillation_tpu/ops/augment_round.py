@@ -94,7 +94,7 @@ def _shift_h_vm(x, shift, maxs: int):
     return out
 
 
-def _round_kernel(op_ref, par_ref, img_ref, out_ref,
+def _round_kernel(op_ref, par_ref, img_ref, out_ref, scratch_ref,
                   *, maxs: int, branches: tuple):
     i = pl.program_id(0)
     op = op_ref[i, 0]
@@ -105,16 +105,17 @@ def _round_kernel(op_ref, par_ref, img_ref, out_ref,
         return img_ref[0].astype(_F32)                  # (3, H, W)
 
     def store(v):
-        out_ref[0] = jnp.round(jnp.clip(v, 0.0, 255.0)).astype(out_ref.dtype)
+        scratch_ref[...] = jnp.round(
+            jnp.clip(v, 0.0, 255.0)).astype(scratch_ref.dtype)
 
     def gray_of(x):
         return 0.299 * x[0] + 0.587 * x[1] + 0.114 * x[2]
 
-    # exactly one store per program: explicit pass-through branch for
-    # identity (0) and equalize (13, handled by the subset kernel)
-    @pl.when((op == 0) | (op == _da._EQUAL))
-    def _ident():
-        out_ref[0] = img_ref[0]
+    # branches write a VMEM scratch; ONE unconditional final store keeps the
+    # output DMA's time/location static so Mosaic can pipeline it across
+    # grid steps (branch-dependent out_ref stores measured ~8 us/program
+    # slower than a copy kernel)
+    scratch_ref[...] = img_ref[0]
 
     if "geo" in branches:
         @pl.when((op >= _da._SHEAR_X) & (op <= _da._ROTATE))
@@ -196,8 +197,11 @@ def _round_kernel(op_ref, par_ref, img_ref, out_ref,
                 hi = jnp.max(xc)
                 sc = jnp.where(hi > lo, 255.0 / (hi - lo), 1.0)
                 off = jnp.where(hi > lo, -lo * sc, 0.0)
-                out_ref[0, cc] = jnp.round(
-                    jnp.clip(xc * sc + off, 0.0, 255.0)).astype(out_ref.dtype)
+                scratch_ref[cc] = jnp.round(
+                    jnp.clip(xc * sc + off, 0.0, 255.0)
+                ).astype(scratch_ref.dtype)
+
+    out_ref[0] = scratch_ref[...]
 
 
 _ALL_BRANCHES = ("geo", "bright", "color", "contrast", "sharp", "poster",
@@ -230,6 +234,7 @@ def randaugment_round(imgs: jnp.ndarray, op_idx: jnp.ndarray,
         out_specs=pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, c, h, w), imgs.dtype),
+        scratch_shapes=[pltpu.VMEM((c, h, w), imgs.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,
