@@ -126,11 +126,12 @@ class DeviceFrameCache:
 
 
 class CachedLoader:
-    """DataLoader facade over a DeviceFrameCache: yields DEVICE-resident
-    batches ({'image': (B,S,S,3) uint8, 'erase': zeros[, 'mask']}) — the
-    trainer skips host sharding for these (``device_resident``). The erase
-    placeholder is replaced by the device augmentation, which samples its
-    own rects (device_augment.augment_batch)."""
+    """DataLoader facade over a DeviceFrameCache: yields INDEX batches
+    ({'indices': (B,) i32 device, 'erase': zeros[, 'mask']}) — the trainer
+    skips host sharding (``device_resident``) and fuses the frame gather
+    into the jitted augmentation program (train/loop._augment_on_device),
+    exactly like bench.py's measured configuration. The erase placeholder
+    is replaced by the device augmentation, which samples its own rects."""
 
     device_resident = True
 
@@ -146,18 +147,12 @@ class CachedLoader:
 
     def __iter__(self):
         bsz = self.cache.batch_size
-        idx_all = self.cache.epoch_indices()
-        n = self.cache.n
-        for b in range(len(self.cache)):
-            chunk = idx_all[b * bsz:(b + 1) * bsz]
-            real = len(chunk)
-            if real < bsz:
-                pad = np.take(idx_all, np.arange(bsz - real) % n)
-                chunk = np.concatenate([chunk, pad])
-            img = self.cache.take(jnp.asarray(chunk, jnp.int32))
-            batch = {"image": img,
+        n_real = self.cache.n
+        for b, idx in enumerate(self.cache):
+            batch = {"indices": idx,
                      "erase": jnp.zeros((bsz, 4), jnp.int32)}
             if self.with_mask:
+                real = min(bsz, n_real - b * bsz)  # tail wrap size
                 batch["mask"] = jnp.asarray(
                     (np.arange(bsz) < real).astype(np.float32))
             yield batch
@@ -165,7 +160,9 @@ class CachedLoader:
 
 def build_cached_loaders(cfg, transform, seed: int = 42):
     """Train/val CachedLoaders per the config (``data_loader.cache: device``).
-    Single-process only: the cache is per-host HBM."""
+    Single-process only: the cache is per-host HBM. Raises ValueError when
+    the dataset exceeds the HBM budget (``data_loader.cache_budget_gb``,
+    default 8) — the trainer falls back to the streaming loader."""
     import jax as _jax
 
     if _jax.process_count() > 1:
@@ -173,10 +170,20 @@ def build_cached_loaders(cfg, transform, seed: int = 42):
                          "streaming DataLoader for multi-host runs")
     from .loader import build_datasets
 
+    budget = int(float(cfg.data_loader.get("cache_budget_gb", 8.0)) * 2**30)
     train_ds, val_ds = build_datasets(cfg, seed)
+    s = transform.staging_size
+    need = (len(train_ds) + len(val_ds)) * s * s * 3
+    if need > budget:
+        raise ValueError(
+            f"dataset needs {need / 2**30:.1f} GiB of staged frames, over the "
+            f"{budget / 2**30:.1f} GiB device-cache budget "
+            f"(data_loader.cache_budget_gb)")
     bsz = int(cfg.data_loader.batch_size)
     train_cache = DeviceFrameCache(train_ds, transform, batch_size=bsz,
-                                   shuffle=True, seed=seed, drop_last=True)
+                                   shuffle=True, seed=seed, drop_last=True,
+                                   max_bytes=budget)
     val_cache = DeviceFrameCache(val_ds, transform, batch_size=bsz,
-                                 shuffle=False, seed=seed + 1, drop_last=False)
+                                 shuffle=False, seed=seed + 1, drop_last=False,
+                                 max_bytes=budget)
     return CachedLoader(train_cache), CachedLoader(val_cache, with_mask=True)

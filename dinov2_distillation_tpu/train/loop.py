@@ -106,6 +106,7 @@ class DistillationTrainer:
         data_cfg = cfg.clone()
         data_cfg.data_loader.batch_size = per_host
         cache_mode = str(cfg.data_loader.get("cache", "none")).lower()
+        loaders = None
         if (self.augment_on_device and cache_mode == "device"
                 and self.process_count == 1):
             # dataset lives in HBM; batches are on-device gathers (r3: this
@@ -113,17 +114,21 @@ class DistillationTrainer:
             # starve the chip; see data/device_cache.py)
             from ..data.device_cache import build_cached_loaders
 
-            self.train_loader, self.val_loader = build_cached_loaders(
-                data_cfg, self.transform)
-        else:
-            if cache_mode == "device" and not self.augment_on_device:
-                logger.warning("data_loader.cache=device requires "
-                               "augment_on_device; using the streaming loader")
-            self.train_loader, self.val_loader = build_loaders(
+            try:
+                loaders = build_cached_loaders(data_cfg, self.transform)
+            except ValueError as exc:
+                logger.warning(f"device cache unavailable ({exc}); "
+                               "falling back to the streaming loader")
+        elif cache_mode == "device" and not self.augment_on_device:
+            logger.warning("data_loader.cache=device requires "
+                           "augment_on_device; using the streaming loader")
+        if loaders is None:
+            loaders = build_loaders(
                 data_cfg, self.transform,
                 process_index=self.process_index,
                 process_count=self.process_count,
             )
+        self.train_loader, self.val_loader = loaders
         logger.info(f"Batches/epoch: train={len(self.train_loader)} "
                     f"val={len(self.val_loader)} (global batch {self.global_batch})")
 
@@ -224,14 +229,25 @@ class DistillationTrainer:
 
         rng = jax.random.fold_in(
             jax.random.fold_in(self._aug_rng, stream), idx)
-        out = augment_batch(
-            global_batch["image"], rng,
+        kw = dict(
             crop_size=int(self.cfg.data_transform.global_crops_size[0]),
             scale=tuple(self.cfg.data_transform.global_crops_scale),
         )
+        if "indices" in global_batch:
+            # CachedLoader path: fuse the HBM frame gather into the jitted
+            # augmentation program (one dispatch, no eager 50 MB batch)
+            if not hasattr(self, "_gather_augment"):
+                self._gather_augment = jax.jit(
+                    lambda frames, idx, r: augment_batch(
+                        jnp.take(frames, idx, axis=0), r, **kw))
+            loader = self.train_loader if stream == 0 else self.val_loader
+            out = self._gather_augment(
+                loader.cache.frames, global_batch["indices"], rng)
+        else:
+            out = augment_batch(global_batch["image"], rng, **kw)
         # carry non-image keys (e.g. the val validity mask) through
         for k, v in global_batch.items():
-            if k not in ("image", "erase"):
+            if k not in ("image", "erase", "indices"):
                 out[k] = v
         return out
 
@@ -357,9 +373,10 @@ class DistillationTrainer:
                 global_batch = self._augment_on_device(
                     global_batch, stream=1, idx=epoch * len(self.val_loader) + i)
             metrics = self.eval_step(self.state, global_batch)
+            w = float(metrics.pop("_weight", self.global_batch))
             for k, v in metrics.items():
-                sums[k] += float(v)
-            n += 1
+                sums[k] += float(v) * w
+            n += w
         if n == 0:
             return {}
         val = {f"val_{k}": v / n for k, v in sums.items()}

@@ -123,9 +123,14 @@ def make_eval_step(model):
         }
         # validity mask: shard_batch zero-pads it for wrap-padded partial
         # val batches so duplicated samples don't bias val metrics
-        _, metrics = model.apply(
-            variables, images, False, sample_mask=batch.get("mask"))
-        return {k: v.astype(jnp.float32) for k, v in metrics.items()}
+        mask = batch.get("mask")
+        _, metrics = model.apply(variables, images, False, sample_mask=mask)
+        out = {k: v.astype(jnp.float32) for k, v in metrics.items()}
+        # real-sample count: validate() weights per-batch means by it so a
+        # partial final batch doesn't get equal epoch weight (r3 review)
+        out["_weight"] = (jnp.sum(mask.astype(jnp.float32)) if mask is not None
+                          else jnp.asarray(float(images.shape[0])))
+        return out
 
     return eval_step
 

@@ -32,17 +32,24 @@ import tempfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_PROC = 2
 DEVS_PER_PROC = 2
-PORT = 39311
 
 
-def worker(idx: int, workdir: str) -> None:
+def _free_port() -> int:
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def worker(idx: int, workdir: str, port: int) -> None:
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + f" --xla_force_host_platform_device_count={DEVS_PER_PROC}")
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     jax.distributed.initialize(
-        coordinator_address=f"localhost:{PORT}",
+        coordinator_address=f"localhost:{port}",
         num_processes=N_PROC, process_id=idx)
     assert jax.process_count() == N_PROC
     assert len(jax.devices()) == N_PROC * DEVS_PER_PROC
@@ -123,18 +130,20 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--worker", type=int, default=None)
     p.add_argument("--workdir", default=None)
+    p.add_argument("--port", type=int, default=None)
     args = p.parse_args()
     if args.worker is not None:
-        worker(args.worker, args.workdir)
+        worker(args.worker, args.workdir, args.port)
         return 0
 
     workdir = tempfile.mkdtemp(prefix="dkt_multihost_")
+    port = _free_port()  # fixed ports collide across concurrent/rapid runs
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, "-u", os.path.abspath(__file__),
-             "--worker", str(i), "--workdir", workdir],
+             "--worker", str(i), "--workdir", workdir, "--port", str(port)],
             env=env)
         for i in range(N_PROC)
     ]

@@ -317,8 +317,6 @@ def _run_export_cli(tmp_path, model_name, family_flag=None):
 def test_export_cli_convnext(tmp_path):
     model = _run_export_cli(tmp_path, "convnext_atto")
     assert any(k.startswith("backbone.stages.") for k in model)
-    n_leaves, _ = _build_template.__wrapped__("convnext_atto") if hasattr(
-        _build_template, "__wrapped__") else (None, None)
     assert len(model) > 20
 
 
