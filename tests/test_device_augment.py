@@ -275,3 +275,41 @@ def test_round_kernel_interpret_matches_xla_engine(monkeypatch):
     diff = np.abs(a - b)
     assert (diff <= 1).mean() > 0.9999, diff.max()
     assert diff.max() <= 1, diff.max()
+
+
+@pytest.mark.slow
+def test_device_pipeline_statistics_track_host_pipeline():
+    """End-to-end distributional parity: the device pipeline and the host
+    PIL pipeline (data/augment.DataAugmentationDINO) implement the same
+    stochastic process; over a batch their output statistics must agree.
+    Catches gross divergence (wrong magnitudes, broken op dispatch, fill
+    explosions) that per-op tests cannot see."""
+    from PIL import Image
+
+    from dinov2_distillation_tpu.data.augment import DataAugmentationDINO
+
+    n = 48
+    rng_np = np.random.default_rng(3)
+    # structured images (smooth gradients + noise), not white noise
+    base = np.zeros((n, 96, 96, 3), np.uint8)
+    for i in range(n):
+        low = rng_np.integers(0, 256, (4, 4, 3), np.uint8)
+        base[i] = np.asarray(
+            Image.fromarray(low).resize((96, 96), Image.BILINEAR))
+
+    host = DataAugmentationDINO(global_crops_size=(48, 48))
+    host_out = np.stack([
+        host(Image.fromarray(base[i]), rng_np)[0] for i in range(n)])
+
+    dev = da.augment_batch(jnp.asarray(base), jax.random.PRNGKey(5),
+                           crop_size=48)
+    dev_out = np.asarray(dev["image"])
+
+    hm, dm = host_out.mean(), dev_out.mean()
+    hs, ds = host_out.std(), dev_out.std()
+    assert abs(hm - dm) < 12.0, (hm, dm)
+    assert abs(hs - ds) < 15.0, (hs, ds)
+    # fill fraction (zero pixels from warps) in the same ballpark
+    hz = (host_out == 0).mean()
+    dz = (dev_out == 0).mean()
+    assert abs(hz - dz) < 0.08, (hz, dz)
