@@ -109,21 +109,25 @@ def run_e2e(args, cfg, mesh, state, step, global_batch: int, crop: int) -> int:
                 epoch += 1
             return state, metrics
     else:
+        from dinov2_distillation_tpu.data.device_cache import gather_frames
+
         cache = DeviceFrameCache(
             ImageFolderDataset([corpus]), transform,
-            batch_size=global_batch, seed=0)
+            batch_size=global_batch, mesh=mesh, seed=0)
 
         @jax.jit
         def gather_augment(frames, idx, rng):
-            return augment_batch(jnp.take(frames, idx, axis=0), rng,
-                                 crop_size=crop, scale=scale)
+            got = gather_frames(frames, idx, mesh=mesh,
+                                shard_size=cache.shard_size,
+                                per_device=cache.per_device)
+            return augment_batch(got, rng, crop_size=crop, scale=scale)
 
         def run(n_steps, state, metrics=None):
             i, epoch = 0, 0
             while i < n_steps:
                 cache.set_epoch(epoch)
-                for idx in cache:
-                    aug = gather_augment(cache.frames, idx,
+                for item in cache:
+                    aug = gather_augment(cache.frames, item["indices"],
                                          jax.random.fold_in(arng, i))
                     state, metrics = step(state, aug)
                     i += 1
@@ -178,8 +182,15 @@ def main(argv=None) -> int:
     p.add_argument("--e2e-stream", action="store_true",
                    help="with --e2e: stream through the host loader (JPEG "
                         "decode + H2D) instead of the device frame cache")
+    p.add_argument("--teacher", default=None,
+                   help="teacher variant override (dinov2_vit{s,b,l,g}14) — "
+                        "measures the same distill step under a bigger "
+                        "teacher (reference variant table train.py:103-108)")
     args = p.parse_args(argv)
 
+    if args.teacher:
+        args.overrides = list(args.overrides) + [
+            f"teacher.model_name={args.teacher}"]
     cfg = derive_config(load_config(args.config, overrides=args.overrides))
     if args.quick:
         args.steps, args.warmup = 10, 3
@@ -242,8 +253,13 @@ def main(argv=None) -> int:
 
     img_per_sec = args.steps * global_batch / dt
     per_chip_rate = img_per_sec / n_chips
+    tname = cfg.teacher.model_name.replace("dinov2_", "")
+    metric_name = ("distill images/sec/chip (vits14->stdc_2, dual scalekd)"
+                   if tname == "vits14" else
+                   f"distill images/sec/chip ({tname}->"
+                   f"{cfg.student.model_name}, dual scalekd)")
     result = {
-        "metric": "distill images/sec/chip (vits14->stdc_2, dual scalekd)",
+        "metric": metric_name,
         "value": round(per_chip_rate, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(per_chip_rate / BASELINE_IMG_PER_SEC_PER_CHIP, 3),

@@ -284,19 +284,35 @@ def _crop_resize(img: jnp.ndarray, rect, out_size: int) -> jnp.ndarray:
         scale, translation, method="cubic", antialias=False)
 
 
+def _keys_cubic_kernel(x: jnp.ndarray) -> jnp.ndarray:
+    """Keys cubic-convolution kernel, a=-0.5 (Keys 1981) — the 'cubic'
+    resize kernel of ``jax.image.scale_and_translate``."""
+    out = ((1.5 * x - 2.5) * x) * x + 1.0
+    out = jnp.where(x >= 1.0, ((-0.5 * x + 2.5) * x - 4.0) * x + 2.0, out)
+    return jnp.where(x >= 2.0, 0.0, out)
+
+
 def _cubic_weight_rows(in_size: int, out_size: int, start, length) -> jnp.ndarray:
     """(out_size, in_size) interpolation weights mapping the crop
     ``[start, start+length)`` onto ``out_size`` samples — exactly the weight
     matrix ``jax.image.scale_and_translate(method='cubic', antialias=False)``
-    contracts with (pinned by test vs ``_crop_resize``)."""
-    from jax._src.image import scale as _jscale
-
-    kernel = _jscale._kernels[_jscale.ResizeMethod.CUBIC]
+    contracts with (pinned by test vs ``_crop_resize``; vendored math so the
+    hot path has no jax-private imports — ADVICE r3)."""
     scale = out_size / length
     translation = -scale * start
-    w = _jscale.compute_weight_mat(in_size, out_size, scale, translation,
-                                   kernel, antialias=False)
-    return w.T  # compute_weight_mat returns (in, out)
+    inv_scale = 1.0 / scale
+    # half-pixel sample centers (align_corners=False), no antialias scaling
+    sample_f = ((jnp.arange(out_size, dtype=jnp.float32) + 0.5) * inv_scale
+                - translation * inv_scale - 0.5)
+    x = jnp.abs(sample_f[None, :]
+                - jnp.arange(in_size, dtype=jnp.float32)[:, None])
+    w = _keys_cubic_kernel(x)
+    total = jnp.sum(w, axis=0, keepdims=True)
+    w = jnp.where(jnp.abs(total) > 1000.0 * float(np.finfo(np.float32).eps),
+                  w / jnp.where(total != 0, total, 1), 0)
+    w = jnp.where(((sample_f >= -0.5) & (sample_f <= in_size - 0.5))[None, :],
+                  w, 0)
+    return w.T  # (out, in)
 
 
 def _batched_crop_resize(imgs: jnp.ndarray, rects, out_size: int,
@@ -518,7 +534,8 @@ def _point_round(img: jnp.ndarray, op_idx: jnp.ndarray, mag: jnp.ndarray,
 
     # equalize: gather the <=capacity samples that drew it (E[count] = B/14,
     # capacity default is >7 sigma above), compute, scatter back; overflow
-    # (astronomically rare) leaves the extra samples unequalized
+    # (astronomically rare) leaves the extra samples unequalized — counted
+    # and surfaced as the `aug_eq_overflow` metric (ADVICE r3)
     kcap = min(b, eq_capacity)
     eq_mask = op_idx == _EQUAL
     order = jnp.argsort(jnp.logical_not(eq_mask), stable=True)
@@ -527,7 +544,8 @@ def _point_round(img: jnp.ndarray, op_idx: jnp.ndarray, mag: jnp.ndarray,
     eq = _equalize_batch(sub)
     valid = eq_mask[idx][:, None, None, None]
     out = out.at[idx].set(jnp.where(valid, eq, jnp.take(out, idx, axis=0)))
-    return out
+    overflow = jnp.maximum(jnp.sum(eq_mask.astype(jnp.int32)) - kcap, 0)
+    return out, overflow
 
 
 # ---------------------------------------------------------------------------
@@ -543,25 +561,28 @@ def _eq_capacity(batch: int) -> int:
 
 
 def _equalize_subset_nchw(img: jnp.ndarray, op_idx: jnp.ndarray,
-                          cap: int, kernel_mode: str = "off") -> jnp.ndarray:
+                          cap: int, kernel_mode: str = "off"):
     """Equalize exactly the samples that drew op 13 (capacity-bounded
     gather/scatter) on an NCHW bf16 batch — companion to the round kernel,
-    which passes op-13 programs through untouched."""
+    which passes op-13 programs through untouched. Returns (batch, overflow
+    count of samples left unequalized — ADVICE r3 observability)."""
     b = img.shape[0]
+    kcap = min(b, cap)
     eq_mask = op_idx == _EQUAL
+    overflow = jnp.maximum(jnp.sum(eq_mask.astype(jnp.int32)) - kcap, 0)
     order = jnp.argsort(jnp.logical_not(eq_mask), stable=True)
-    idx = order[:min(b, cap)]
+    idx = order[:kcap]
     sub = jnp.take(img, idx, axis=0)
     if kernel_mode != "off":
         from ..ops.equalize_kernel import equalize_subset
 
         eq_all = equalize_subset(sub, eq_mask[idx],
                                  interpret=(kernel_mode == "interpret"))
-        return img.at[idx].set(eq_all)
+        return img.at[idx].set(eq_all), overflow
     eq = _equalize_batch(sub.astype(jnp.float32).transpose(0, 2, 3, 1))
     eq = eq.transpose(0, 3, 1, 2).astype(img.dtype)
     valid = eq_mask[idx][:, None, None, None]
-    return img.at[idx].set(jnp.where(valid, eq, sub))
+    return img.at[idx].set(jnp.where(valid, eq, sub)), overflow
 
 
 def _draw_round(r_aug: jnp.ndarray, i: int, mags: jnp.ndarray):
@@ -615,27 +636,32 @@ def _augment_batch_impl(
         out = _batched_crop_resize(images.astype(jnp.float32), rects,
                                    crop_size, flip=flip, nchw=True)
         out = jnp.round(jnp.clip(out, 0.0, 255.0)).astype(jnp.bfloat16)
+        eq_overflow = jnp.zeros((), jnp.int32)
         for i in range(num_ops):
             op_idx, mag = _draw_round(r_aug, i, mags)
             shifts = _warp_pass_params(op_idx, mag, crop_size)
             out = randaugment_round(out, op_idx, mag, shifts, maxs=maxs,
                                     interpret=(kernel_mode == "interpret"))
-            out = _equalize_subset_nchw(out, op_idx, ecap, kernel_mode)
-        return out.transpose(0, 2, 3, 1).astype(jnp.uint8), erase
+            out, ov = _equalize_subset_nchw(out, op_idx, ecap, kernel_mode)
+            eq_overflow = eq_overflow + ov
+        return (out.transpose(0, 2, 3, 1).astype(jnp.uint8), erase,
+                eq_overflow)
 
     out = _batched_crop_resize(images.astype(jnp.float32), rects, crop_size)
     out = jnp.clip(out, 0.0, 255.0)
     out = jnp.where(flip[:, None, None, None], out[:, :, ::-1], out)
     out = jnp.round(out)
 
+    eq_overflow = jnp.zeros((), jnp.int32)
     for i in range(num_ops):
         op_idx, mag = _draw_round(r_aug, i, mags)
         out = _warp_round(out, op_idx, mag, maxs)
         out = jnp.round(jnp.clip(out, 0.0, 255.0))
-        out = _point_round(out, op_idx, mag, ecap)
+        out, ov = _point_round(out, op_idx, mag, ecap)
+        eq_overflow = eq_overflow + ov
         out = jnp.round(jnp.clip(out, 0.0, 255.0))
 
-    return out.astype(jnp.uint8), erase
+    return out.astype(jnp.uint8), erase, eq_overflow
 
 
 def augment_batch(
@@ -669,11 +695,14 @@ def augment_batch(
         kernel_mode = "interpret"
     else:
         kernel_mode = "on" if jax.default_backend() == "tpu" else "off"
-    out, erase = _augment_batch_impl(
+    out, erase, eq_overflow = _augment_batch_impl(
         images, rngs, crop_size=crop_size, scale=tuple(scale),
         num_ops=num_ops, magnitude=magnitude, num_bins=num_bins,
         kernel_mode=kernel_mode)
-    return {"image": out, "erase": erase}
+    # samples that drew equalize beyond the static capacity this batch (left
+    # unequalized); ~0 in practice (capacity is mean+8 sigma) but observable
+    # so a silent distribution drift can't hide (ADVICE r3)
+    return {"image": out, "erase": erase, "aug_eq_overflow": eq_overflow}
 
 
 def _sample_erase(rng: jax.Array, height: int, width: int,

@@ -107,15 +107,18 @@ class DistillationTrainer:
         data_cfg.data_loader.batch_size = per_host
         cache_mode = str(cfg.data_loader.get("cache", "none")).lower()
         loaders = None
-        if (self.augment_on_device and cache_mode == "device"
-                and self.process_count == 1):
-            # dataset lives in HBM; batches are on-device gathers (r3: this
-            # host decodes ~365 img/s and its H2D link is ~0.03 GB/s — both
-            # starve the chip; see data/device_cache.py)
+        if self.augment_on_device and cache_mode == "device":
+            # dataset lives in HBM — sharded over the mesh data axis, each
+            # host staging only its 1/world; batches are shard-local
+            # on-device gathers (r3: this host decodes ~365 img/s and its
+            # H2D link is ~0.03 GB/s — both starve the chip; see
+            # data/device_cache.py)
             from ..data.device_cache import build_cached_loaders
 
             try:
-                loaders = build_cached_loaders(data_cfg, self.transform)
+                loaders = build_cached_loaders(
+                    data_cfg, self.transform, mesh=self.mesh,
+                    global_batch=self.global_batch)
             except ValueError as exc:
                 logger.warning(f"device cache unavailable ({exc}); "
                                "falling back to the streaming loader")
@@ -149,9 +152,18 @@ class DistillationTrainer:
         if not self.sync_bn:
             logger.info(f"Per-replica BatchNorm: {n_data} stat groups")
         self.teacher = create_teacher(cfg.teacher.model_name, dtype=self.dtype)
+        # family-specific backbone options (today: resnet norm/freeze_at —
+        # reference resnet_wrapper.py:62-74, freeze machinery resnet.py:697-719)
+        bk = {}
+        if cfg.student.get("norm", None):
+            bk["norm"] = str(cfg.student.norm)
+        if cfg.student.get("freeze_at", None):
+            bk["freeze_at"] = int(cfg.student.freeze_at)
+        self.backbone_kwargs = bk
         self.student, self.feature_channels = create_student(
             cfg.student.model_name, cfg.teacher.n_patches,
             list(cfg.student.student_keys), dtype=self.dtype,
+            backbone_kwargs=bk or None,
         )
         inject_student_dims(cfg, self.feature_channels)
         self.loss_specs = build_loss_specs(cfg)
@@ -164,9 +176,12 @@ class DistillationTrainer:
         # --- optimizer -----------------------------------------------------
         self.accum = int(cfg.train.get("accumulate_grad_batches", 1) or 1)
         updates_per_epoch = max(1, len(self.train_loader) // self.accum)
+        from ..models.zoo import freeze_mask_fn
+
         self.tx, self.schedule = create_optimizer(
             cfg.optimizer.to_container(), updates_per_epoch, self.accum,
             clip_norm=1.0,  # Lightning gradient_clip_val=1.0 (train.py:267)
+            freeze_mask=freeze_mask_fn(cfg.student.model_name, bk),
         )
         # ReduceLROnPlateau: host-side controller fed from val metrics
         # (reference scheduler dict with monitor/frequency,
@@ -235,16 +250,33 @@ class DistillationTrainer:
         )
         if "indices" in global_batch:
             # CachedLoader path: fuse the HBM frame gather into the jitted
-            # augmentation program (one dispatch, no eager 50 MB batch)
-            if not hasattr(self, "_gather_augment"):
-                self._gather_augment = jax.jit(
-                    lambda frames, idx, r: augment_batch(
-                        jnp.take(frames, idx, axis=0), r, **kw))
+            # augmentation program (one dispatch, no eager 50 MB batch); the
+            # gather is shard-local under shard_map on a >1-wide data axis
+            # (data/device_cache.gather_frames) and the output is pinned to
+            # the data-axis batch sharding (ADVICE r3)
+            if not hasattr(self, "_gather_fns"):
+                self._gather_fns = {}
             loader = self.train_loader if stream == 0 else self.val_loader
-            out = self._gather_augment(
-                loader.cache.frames, global_batch["indices"], rng)
+            fn = self._gather_fns.get(stream)
+            if fn is None:
+                from ..data.device_cache import gather_frames
+
+                cache = loader.cache
+                mesh = self.mesh
+
+                def _fn(frames, idx, r, *, _c=cache, _m=mesh):
+                    got = gather_frames(frames, idx, mesh=_m,
+                                        shard_size=_c.shard_size,
+                                        per_device=_c.per_device)
+                    return augment_batch(got, r, **kw)
+
+                fn = self._gather_fns[stream] = jax.jit(_fn)
+            out = fn(loader.cache.frames, global_batch["indices"], rng)
         else:
             out = augment_batch(global_batch["image"], rng, **kw)
+        # equalize-capacity overflow counter: keep it out of the step input
+        # (device scalar; fetched lazily at log points — ADVICE r3)
+        self._eq_overflow = out.pop("aug_eq_overflow", None)
         # carry non-image keys (e.g. the val validity mask) through
         for k, v in global_batch.items():
             if k not in ("image", "erase", "indices"):
@@ -345,6 +377,8 @@ class DistillationTrainer:
                     host["images_per_sec"] = meter.images_per_sec
                     host["images_per_sec_per_chip"] = (
                         meter.images_per_sec / max(1, self.mesh.size))
+                if getattr(self, "_eq_overflow", None) is not None:
+                    host["aug_eq_overflow"] = float(self._eq_overflow)
                 self.metrics.log_scalars(int(self.state.step), host)
                 last = host
             meter.tick(self.global_batch)
@@ -417,12 +451,15 @@ class DistillationTrainer:
             self.train_epoch(epoch)
             val_metrics = self.validate(epoch)
             self._plateau_step(epoch, val_metrics)
-            if val_metrics:
-                extra = {"epoch": epoch}
-                if self.plateau:
-                    extra["plateau"] = self.plateau.state_dict()
-                self.ckpt.save(int(self.state.step), self.state, val_metrics,
-                               extra=extra)
+            # save every epoch even when the val split is empty (no metrics):
+            # the manager still writes `last`, so a run with a 0-batch val
+            # loader remains crash-recoverable (reference save_last=True,
+            # train.py:253, fires per-epoch regardless of val output)
+            extra = {"epoch": epoch}
+            if self.plateau:
+                extra["plateau"] = self.plateau.state_dict()
+            self.ckpt.save(int(self.state.step), self.state, val_metrics,
+                           extra=extra)
             logger.info(f"epoch {epoch} done in {time.time() - t0:.1f}s")
         self.ckpt.wait()
         self.metrics.close()

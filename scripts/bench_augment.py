@@ -91,7 +91,7 @@ def main():
     warp = jax.jit(lambda im: da._warp_round(im, op_idx, mag, maxs))
     timed(warp, (imgs224,), label="warp")
 
-    point = jax.jit(lambda im: da._point_round(im, op_idx, mag * 100, ecap))
+    point = jax.jit(lambda im: da._point_round(im, op_idx, mag * 100, ecap)[0])
     timed(point, (imgs224,), label="point")
 
     eq = jax.jit(lambda im: da._equalize_batch(im[:ecap]))
@@ -110,7 +110,7 @@ def main():
         im, op_idx, mag, ((za, za), (za, za), (za, za)), maxs=maxs))
     timed(roundk, (nchw,), label="round_k")
 
-    eqsub = jax.jit(lambda im: da._equalize_subset_nchw(im, op_idx, ecap))
+    eqsub = jax.jit(lambda im: da._equalize_subset_nchw(im, op_idx, ecap)[0])
     timed(eqsub, (nchw,), label="eqsub")
 
 

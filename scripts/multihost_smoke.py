@@ -121,8 +121,30 @@ def worker(idx: int, workdir: str, port: int) -> None:
     vals = comm.all_gather(float(val[monitor]))
     assert max(vals) - min(vals) < 1e-5, vals  # same global metrics everywhere
 
+    # 5) one fit() epoch on the FLAGSHIP data path: sharded device frame
+    # cache + on-device augmentation (each host stages 1/world of the
+    # dataset; shard-local gathers; VERDICT r3 next #1)
+    cfg2 = load_config(os.path.join(REPO, "configs", "smoke.yaml"), overrides=[
+        "train.max_epochs=1",
+        "data_loader.synthetic_size=64",
+        "data_loader.batch_size=8",
+        "data_loader.augment_on_device=true",
+        "data_loader.cache=device",
+        "data_loader.staging_size=64",
+        "data_transform.global_crops_size=[56, 56]",
+        "train.log_every_n_steps=1",
+    ])
+    trainer2 = DistillationTrainer(cfg2, log_root=os.path.join(workdir, "fit_cache"))
+    assert getattr(trainer2.train_loader, "device_resident", False), \
+        "multi-host run must use the device frame cache, not the fallback"
+    val2 = trainer2.fit()
+    assert monitor in val2 and np.isfinite(val2[monitor]), val2
+    vals2 = comm.all_gather(float(val2[monitor]))
+    assert max(vals2) - min(vals2) < 1e-5, vals2
+
     if idx == 0:
         print(json.dumps({"ok": True, "monitor": float(val[monitor]),
+                          "cached_monitor": float(val2[monitor]),
                           "world": N_PROC}))
 
 

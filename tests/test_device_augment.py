@@ -87,6 +87,8 @@ def test_augment_batch_contract(rng):
     assert out["image"].shape == (4, 32, 32, 3)
     assert out["image"].dtype == jnp.uint8
     assert out["erase"].shape == (4, 4)
+    # equalize-capacity overflow counter is surfaced (ADVICE r3) and ~always 0
+    assert int(out["aug_eq_overflow"]) == 0
     # different rngs give different augmentations
     out2 = da.augment_batch(imgs, jax.random.PRNGKey(1), crop_size=32,
                             num_ops=2)
@@ -220,7 +222,7 @@ def test_point_round_dispatch(rng):
     #         id  bright color contr sharp poster solar autoc equal
     op_idx = jnp.asarray([0, 6, 7, 8, 9, 10, 11, 12])
     mag = jnp.asarray([0.0, -0.5, 0.4, 0.4, 0.6, 7.0, 178.5, 0.0], jnp.float32)
-    out = da._point_round(imgs, op_idx, mag, eq_capacity=4)
+    out, _ = da._point_round(imgs, op_idx, mag, eq_capacity=4)
     singles = [
         imgs[0],
         da._brightness(imgs[1], mag[1]),
@@ -243,7 +245,8 @@ def test_point_round_equalize_subset(rng):
     imgs = jnp.stack([jnp.round(_rand_img(rng)) for _ in range(b)])
     op_idx = jnp.asarray([13, 0, 13, 0, 0, 13])
     mag = jnp.zeros(b, jnp.float32)
-    out = da._point_round(imgs, op_idx, mag, eq_capacity=4)
+    out, overflow = da._point_round(imgs, op_idx, mag, eq_capacity=4)
+    assert int(overflow) == 0  # 3 equalize draws within capacity 4
     for i in range(b):
         if int(op_idx[i]) == 13:
             want = da._equalize(imgs[i], jnp.float32(0))
