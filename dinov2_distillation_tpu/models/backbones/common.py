@@ -106,6 +106,66 @@ class GroupedBatchNorm(nn.Module):
         return y.reshape(x.shape).astype(self.dtype)
 
 
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm frozen into a fixed affine transform (reference
+    ``FrozenBatchNorm2d``, resnet.py:10-165; dup mobilenet_v2.py:11-289,
+    presnet.py:28-183): statistics never update, scale/bias never receive
+    gradients. The param/stat tree is IDENTICAL to ``nn.BatchNorm``
+    (scale/bias params, mean/var batch_stats), so imported frozen-BN
+    ``.pkl`` checkpoints land in the same slots and modes can be switched
+    without re-keying. Gradient freezing uses ``stop_gradient``; the
+    optimizer additionally masks these paths so decoupled weight decay
+    cannot move them (``train/optim.create_optimizer(freeze_mask=...)``).
+    """
+
+    epsilon: float = _BN_EPS
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 use_running_average: Optional[bool] = None) -> jnp.ndarray:
+        # mode argument accepted (cell-compatible with batch_norm) and
+        # ignored: frozen BN always applies the stored statistics
+        c = x.shape[-1]
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((c,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((c,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        scale = jax.lax.stop_gradient(scale)
+        bias = jax.lax.stop_gradient(bias)
+        inv = jax.lax.rsqrt(var.value + self.epsilon) * scale
+        return x.astype(self.dtype) * inv.astype(self.dtype) + (
+            bias - mean.value * inv).astype(self.dtype)
+
+
+def get_norm(norm: str, train: Optional[bool], name: str = "bn",
+             dtype: Any = jnp.bfloat16):
+    """Norm-cell factory by name (reference ``get_norm``,
+    resnet.py:198-224): BN / SyncBN / FrozenBN / GN / LN; '' -> None.
+
+    Under our jit-over-global-batch semantics plain BN already reduces
+    moments globally, so 'SyncBN' and 'BN' coincide (per-replica statistics
+    are the ``set_bn_groups`` axis instead — module docstring)."""
+    if not norm:
+        return None
+    if norm in ("BN", "SyncBN", "naiveSyncBN"):
+        return batch_norm(train, name=name, dtype=dtype)
+    if norm == "FrozenBN":
+        return FrozenBatchNorm(dtype=dtype, name=name)
+    if norm == "GN":
+        return nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=dtype,
+                            name=name)
+    if norm in ("LN", "nnSyncBN"):
+        if norm == "LN":
+            # channel-last LayerNorm over C (reference LayerNorm,
+            # resnet.py:168-195, channels_first there; NHWC here)
+            return nn.LayerNorm(epsilon=1e-6, dtype=dtype, name=name)
+        return batch_norm(train, name=name, dtype=dtype)
+    raise KeyError(f"Unknown norm '{norm}' (expected BN/SyncBN/FrozenBN/GN/LN)")
+
+
 def torch_padding(kernel: Union[int, Tuple[int, int]], padding: Union[int, Tuple[int, int]]):
     """Explicit symmetric padding matching torch's integer ``padding=`` arg."""
     if isinstance(padding, int):
@@ -124,6 +184,7 @@ class ConvBN(nn.Module):
     groups: int = 1
     act: Optional[Callable] = nn.relu
     use_bias: bool = False
+    norm: str = "BN"  # get_norm name (reference Conv2d norm arg, resnet.py:236-289)
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -141,7 +202,9 @@ class ConvBN(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        x = batch_norm(train, name="bn", dtype=self.dtype)(x)
+        cell = get_norm(self.norm, train, name="bn", dtype=self.dtype)
+        if cell is not None:
+            x = cell(x)
         if self.act is not None:
             x = self.act(x)
         return x

@@ -98,20 +98,61 @@ def create_student(
     n_patches,
     target_features: List[str],
     dtype: Any = jnp.bfloat16,
+    backbone_kwargs: Dict[str, Any] | None = None,
 ) -> Tuple[StudentWrapper, Dict[str, int]]:
-    """Instantiate a wrapped student; returns (module, feature_channels)."""
+    """Instantiate a wrapped student; returns (module, feature_channels).
+
+    ``backbone_kwargs`` forwards family-specific options to the builder
+    (today: resnet's ``norm`` / ``freeze_at`` — reference
+    resnet_wrapper.py:62-74); families that don't accept them raise."""
     _load_builders()
     fid = family_id(model_name)
     if fid not in _BUILDERS:
         raise KeyError(f"Unknown student family '{fid}' (from '{model_name}'); "
                        f"known: {sorted(_BUILDERS)}")
-    backbone, channels = _BUILDERS[fid](model_name, dtype=dtype)
+    backbone, channels = _BUILDERS[fid](model_name, dtype=dtype,
+                                        **(backbone_kwargs or {}))
     wrapper = StudentWrapper(
         backbone=backbone,
         n_patches=tuple(int(p) for p in n_patches),
         target_features=tuple(target_features),
     )
     return wrapper, channels
+
+
+def freeze_mask_fn(model_name: str, backbone_kwargs: Dict[str, Any] | None):
+    """Optimizer freeze mask for ``optim.create_optimizer(freeze_mask=...)``:
+    callable(params)->bool tree, True where the reference's freeze
+    machinery (freeze_at / FrozenBN) excludes a param from training.
+    Returns None when nothing is frozen (the reference's shipped configs)."""
+    kw = backbone_kwargs or {}
+    norm = str(kw.get("norm", "BN"))
+    freeze_at = int(kw.get("freeze_at", 0) or 0)
+    if norm != "FrozenBN" and freeze_at <= 0:
+        return None
+    if family_id(model_name) != "resnet":
+        raise NotImplementedError(
+            "freeze_at/FrozenBN masking is implemented for the resnet family "
+            "(the only family whose reference wrapper exposes them)")
+    from .backbones.resnet import frozen_path_predicate
+
+    pred = frozen_path_predicate(norm, freeze_at)
+
+    def mask(params):
+        import jax
+
+        def leaf_mask(path, _):
+            segs = [getattr(p, "key", getattr(p, "name", str(p)))
+                    for p in path]
+            # paths look like ('student','backbone','stem','bn','scale') in
+            # the full train tree, or start at the backbone in unit tests
+            if "backbone" in segs:
+                segs = segs[segs.index("backbone") + 1:]
+            return pred(segs)
+
+        return jax.tree_util.tree_map_with_path(leaf_mask, params)
+
+    return mask
 
 
 def available_families() -> List[str]:

@@ -316,6 +316,7 @@ def create_optimizer(
     accumulate_grad_batches: int = 1,
     clip_norm: float = 1.0,
     flatten: bool = True,
+    freeze_mask=None,
 ) -> Tuple[optax.GradientTransformation, Schedule]:
     """Build the full gradient transformation + the LR schedule (for logging).
 
@@ -343,6 +344,12 @@ def create_optimizer(
     tx = optax.chain(*parts)
     if bool(opt_cfg.get("flatten", flatten)):
         tx = optax.flatten(tx)
+    if freeze_mask is not None:
+        # zero the final updates on frozen params (reference freeze_at /
+        # FrozenBN machinery, resnet.py:697-719): stop_gradient alone
+        # would still let decoupled weight decay move them. Outside the
+        # flatten wrap so the mask sees the real param tree.
+        tx = optax.chain(tx, optax.masked(optax.set_to_zero(), freeze_mask))
     if accumulate_grad_batches > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulate_grad_batches)
     return tx, schedule

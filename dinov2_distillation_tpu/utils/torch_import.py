@@ -99,6 +99,16 @@ def apply_mapped_weights(
             missing.append(path)
             continue
         src = mapped[path]
+        if (tuple(src.shape) != tuple(target.shape)
+                and path[-1] == "relative_position_bias_table"
+                and src.ndim == 2 and target.ndim == 2
+                and src.shape[1] == target.shape[1]):
+            # Swin rel-pos table from a different window / pretrain image
+            # size: bicubic-resize the (2w-1, 2w-1) grid per head (reference
+            # swin_wrapper.py:81-86 + swin.py:89-199 checkpoint adaptation)
+            src = _resize_rel_pos_table(src, target.shape[0])
+            logger.info(f"  resized rel-pos table at {'/'.join(path)} "
+                        f"-> {tuple(src.shape)}")
         if tuple(src.shape) != tuple(target.shape):
             bad_shape.append((path, src.shape, tuple(target.shape)))
             continue
@@ -112,6 +122,50 @@ def apply_mapped_weights(
     for p, s, t in bad_shape[:20]:
         logger.warning(f"  shape mismatch at {'/'.join(p)}: ckpt {s} vs model {t}")
     return _unflatten(flat)
+
+
+def _torch_bicubic_weights(in_size: int, out_size: int) -> np.ndarray:
+    """(out, in) 1-D weight matrix reproducing torch
+    ``F.interpolate(mode='bicubic', align_corners=False)`` exactly:
+    half-pixel centers, cubic-convolution kernel a=-0.75 (NOT the Keys
+    a=-0.5 jax uses), 4 taps with border-clamped indices, no antialias."""
+    a = -0.75
+
+    def kernel(x):
+        x = abs(x)
+        if x <= 1:
+            return ((a + 2) * x - (a + 3)) * x * x + 1
+        if x < 2:
+            return a * (((x - 5) * x + 8) * x - 4)
+        return 0.0
+
+    scale = in_size / out_size
+    w = np.zeros((out_size, in_size), np.float32)
+    for o in range(out_size):
+        pos = (o + 0.5) * scale - 0.5
+        i0 = int(np.floor(pos))
+        t = pos - i0
+        for k in range(-1, 3):
+            idx = min(max(i0 + k, 0), in_size - 1)  # torch clamps taps
+            w[o, idx] += kernel(t - k)
+    return w
+
+
+def _resize_rel_pos_table(src: np.ndarray, target_len: int) -> np.ndarray:
+    """((2w'-1)^2, H) -> ((2w-1)^2, H): per-head bicubic resize of the
+    relative-position-bias grid with exact torch
+    ``F.interpolate(mode='bicubic')`` semantics (host-side numpy — runs
+    once at load time). Reference checkpoint adaptation:
+    swin_wrapper.py:81-86."""
+    s1 = int(round(src.shape[0] ** 0.5))
+    s2 = int(round(target_len ** 0.5))
+    assert s1 * s1 == src.shape[0] and s2 * s2 == target_len, (
+        src.shape, target_len)
+    grid = np.asarray(src, np.float32).reshape(s1, s1, src.shape[1])
+    w = _torch_bicubic_weights(s1, s2)
+    out = np.einsum("oh,hwc->owc", w, grid)
+    out = np.einsum("ow,hwc->hoc", w, out)
+    return out.reshape(target_len, src.shape[1])
 
 
 def _conv_kernel(w: np.ndarray) -> np.ndarray:

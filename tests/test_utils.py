@@ -93,3 +93,39 @@ def test_step_timer():
     s = t.summary()
     assert set(s) == {"data", "step", "total"}
     assert s["step"] > s["data"] > 0
+
+
+def test_swin_rel_pos_table_interpolation_on_load():
+    """A rel-pos bias table saved at a different window size must be
+    bicubic-resized onto the model's grid at load time (reference
+    swin_wrapper.py:81-86), matching torch F.interpolate semantics."""
+    import numpy as np
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from dinov2_distillation_tpu.utils.torch_import import (
+        _resize_rel_pos_table, apply_mapped_weights)
+
+    rng = np.random.default_rng(3)
+    heads = 3
+    src = rng.standard_normal((23 * 23, heads)).astype(np.float32)  # w'=12
+    got = _resize_rel_pos_table(src, 13 * 13)                       # w=7
+    want = F.interpolate(
+        torch.from_numpy(src).reshape(23, 23, heads).permute(2, 0, 1)[None],
+        size=(13, 13), mode="bicubic", align_corners=False,
+    )[0].permute(1, 2, 0).reshape(13 * 13, heads).numpy()
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+    # and the overlay path resizes instead of rejecting the mismatch
+    import jax.numpy as jnp
+
+    template = {"attn": {"relative_position_bias_table":
+                         jnp.zeros((13 * 13, heads), jnp.float32)}}
+    out = apply_mapped_weights(
+        template, {("attn", "relative_position_bias_table"): src},
+        what="swin rel-pos test")
+    np.testing.assert_allclose(
+        np.asarray(out["attn"]["relative_position_bias_table"]), want,
+        atol=2e-5, rtol=1e-4)
