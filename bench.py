@@ -138,6 +138,12 @@ def run_e2e(args, cfg, mesh, state, step, global_batch: int, crop: int) -> int:
 
     state, metrics = run(args.warmup, state)
     float(metrics["loss"])  # sync (see tunnel note below)
+    if getattr(args, "profile", None) and not getattr(args, "_collect", False):
+        from dinov2_distillation_tpu.utils.profiling import trace_steps
+
+        with trace_steps(args.profile):
+            state, metrics = run(3, state)
+            float(metrics["loss"])
     t0 = time.perf_counter()
     state, metrics = run(args.steps, state)
     final_loss = float(metrics["loss"])
