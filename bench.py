@@ -198,6 +198,20 @@ def main(argv=None) -> int:
         args.overrides = list(args.overrides) + [
             f"teacher.model_name={args.teacher}"]
     cfg = derive_config(load_config(args.config, overrides=args.overrides))
+    if args.teacher:
+        # projector heads must divide the teacher dims (the flagship config
+        # is tuned for vits14's 384); snap each head count to the largest
+        # divisor <= the configured value, like a user re-tuning the config
+        dims = int(cfg.teacher.out_dim)
+        for spec in cfg.loss.losses:
+            h = int(spec.kwargs.num_heads)
+            while dims % h:
+                h -= 1
+            if h != int(spec.kwargs.num_heads):
+                print(f"# {spec.kwargs.name}: num_heads "
+                      f"{int(spec.kwargs.num_heads)} -> {h} (teacher dims {dims})",
+                      file=sys.stderr)
+                spec.kwargs.num_heads = h
     if args.quick:
         args.steps, args.warmup = 10, 3
         per_chip = args.batch or 32

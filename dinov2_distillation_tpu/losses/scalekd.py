@@ -184,6 +184,14 @@ class WindowMultiheadPosAttention(nn.Module):
     ) -> jnp.ndarray:
         b, n, _ = x.shape
         n_out = pos_emb.shape[1]
+        if self.embed_dim % self.num_heads:
+            # reference parity: torch's (B, N, nh, hd) reshape throws on a
+            # non-dividing head count (scalekd.py:303-306); the lane-slice
+            # formulation would otherwise silently DROP the tail channels
+            # (found r4: vitl teacher_dims=1024 with the config's 24 heads)
+            raise ValueError(
+                f"embed_dim {self.embed_dim} not divisible by num_heads "
+                f"{self.num_heads}")
         nh, hd = self.num_heads, self.embed_dim // self.num_heads
         wh, ww = self.window_shapes
         n_windows = wh * ww

@@ -238,11 +238,13 @@ class DINOv2ViT(nn.Module):
             return "off"
         if fused_block_supported(self.cfg.embed_dim, self.cfg.ffn, n_tokens):
             return "single"  # whole block in one kernel (ViT-S/B)
-        if fused_split_supported(self.cfg.embed_dim, self.cfg.ffn, n_tokens):
+        if fused_split_supported(self.cfg.embed_dim, self.cfg.ffn, n_tokens,
+                                 self.cfg.ffn_hidden or 0):
             # split (attention-half + resident-weight MLP-half) kernels for
-            # ViT-L. Measured 138.7 ms vs 199.2 ms unfused XLA (B=128,
-            # 224px, v5e) after full-width qkv + polynomial erf + sublane
-            # token padding — on by default; DKT_VITL_FUSED=0 disables.
+            # ViT-L (mlp) and ViT-g (swiglu half, r4). ViT-L measured
+            # 138.7 ms vs 199.2 ms unfused XLA (B=128, 224px, v5e) after
+            # full-width qkv + polynomial erf + sublane token padding — on
+            # by default; DKT_VITL_FUSED=0 disables.
             import os
 
             if os.environ.get("DKT_VITL_FUSED", "1") == "1":

@@ -492,6 +492,26 @@ def _mlp_half_kernel(x_ref, n2s_ref, n2b_ref, w1_ref, b1_ref, w2_ref,
     o_ref[0] = x + (m2 * ls2_ref[:].astype(jnp.float32)).astype(x.dtype)
 
 
+def _swiglu_half_kernel(x_ref, n2s_ref, n2b_ref, w12_ref, b12_ref,
+                        w3_ref, b3_ref, ls2_ref, o_ref, *, hidden: int):
+    """DINOv2-g SwiGLUFFNFused half: LN2 -> w12 -> silu(x1)*x2 -> w3 ->
+    LayerScale -> residual, all weights VMEM-resident (w12+w3 at D=1536 /
+    hidden 4096 are ~38 MB bf16 — runs under a raised vmem limit).
+    x1 = FIRST half of the w12 output (upstream chunk order —
+    dinov2/layers/swiglu_ffn.py; reference teacher
+    /root/reference/models/backbones/dinov2.py:20)."""
+    x = x_ref[0]
+    h = _layernorm(x, n2s_ref[:], n2b_ref[:])
+    x12 = jnp.dot(h, w12_ref[:], preferred_element_type=jnp.float32)
+    x12 = x12 + b12_ref[:].astype(jnp.float32)
+    x1 = x12[:, :hidden]
+    x2 = x12[:, hidden:]
+    g = (x1 / (1.0 + jnp.exp(-x1))) * x2          # silu(x1) * x2, fp32
+    m = jnp.dot(g.astype(x.dtype), w3_ref[:], preferred_element_type=jnp.float32)
+    m = m + b3_ref[:].astype(jnp.float32)
+    o_ref[0] = x + (m * ls2_ref[:].astype(jnp.float32)).astype(x.dtype)
+
+
 def fused_vit_block_split(
     x: jnp.ndarray,
     block_params,
@@ -500,7 +520,8 @@ def fused_vit_block_split(
     hidden_chunks: int = 4,  # hc must stay 1024-aligned for the 1-D bias slice
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """ViT block as attention-half + hidden-tiled MLP-half kernels (ViT-L)."""
+    """ViT block as attention-half + MLP-half kernels (ViT-L mlp, ViT-g
+    swiglu — the FFN flavor is dispatched from the param tree)."""
     b, n, d = x.shape
     head_dim = d // num_heads
     n_pad = _round_up(n, _SUBLANE)
@@ -539,11 +560,33 @@ def fused_vit_block_split(
 
     n2s = p["norm2"]["scale"].astype(dt)
     n2b = p["norm2"]["bias"].astype(dt)
+    ls2 = p["ls2"]["gamma"].astype(dt)
+
+    if "w12" in p["mlp"]:  # SwiGLUFFNFused (vitg)
+        w12 = p["mlp"]["w12"]["kernel"].astype(dt)
+        b12 = p["mlp"]["w12"]["bias"].astype(dt)
+        w3 = p["mlp"]["w3"]["kernel"].astype(dt)
+        b3 = p["mlp"]["w3"]["bias"].astype(dt)
+        hidden = w3.shape[0]
+        mw = [n2s, n2b, w12, b12, w3, b3, ls2]
+        out = pl.pallas_call(
+            functools.partial(_swiglu_half_kernel, hidden=hidden),
+            grid=(b,),
+            in_specs=[xspec] + [wspec(w) for w in mw],
+            out_specs=xspec,
+            out_shape=jax.ShapeDtypeStruct((b, n_pad, d), dt),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+                vmem_limit_bytes=100 * 2 ** 20,  # 38 MB weights + fp32 acts
+            ),
+            interpret=interpret,
+        )(y, *mw)
+        return out[:, :n]
+
     w1 = p["mlp"]["fc1"]["kernel"].astype(dt)
     b1 = p["mlp"]["fc1"]["bias"].astype(dt)
     w2 = p["mlp"]["fc2"]["kernel"].astype(dt)
     b2 = p["mlp"]["fc2"]["bias"].astype(dt)
-    ls2 = p["ls2"]["gamma"].astype(dt)
 
     mw = [n2s, n2b, w1, b1, w2, ls2, b2]
     out = pl.pallas_call(
@@ -561,12 +604,19 @@ def fused_vit_block_split(
     return out[:, :n]
 
 
-def fused_split_supported(embed_dim: int, ffn: str, n_tokens: int) -> bool:
-    """Both halves' weights must be VMEM-resident under the 64 MB limit:
-    attention 4*D^2 bf16 (+ (N,3D) qkv and per-head fp32 score buffers),
-    MLP 8*D^2 bf16 + the (N,4D) fp32 hidden activation."""
+def fused_split_supported(embed_dim: int, ffn: str, n_tokens: int,
+                          ffn_hidden: int = 0) -> bool:
+    """Both halves' weights must be VMEM-resident: attention 4*D^2 bf16
+    (+ (N,3D) qkv and per-head fp32 score buffers) under 24 MB; the MLP
+    half (mlp: 8*D^2 bf16 + (N,4D) fp32 hidden; swiglu: (2+1)*D*hidden*2
+    bf16 + (N,2*hidden) fp32) under its raised vmem limit."""
     n_pad = _round_up(n_tokens, _SUBLANE)
     attn_bytes = 4 * embed_dim * embed_dim * 2 + n_pad * 3 * embed_dim * 4
+    if ffn == "swiglu":
+        hid = ffn_hidden or 4 * embed_dim
+        mlp_bytes = 3 * embed_dim * hid * 2 + n_pad * 2 * hid * 4
+        return (attn_bytes <= 24 * 2 ** 20 and mlp_bytes <= 64 * 2 ** 20
+                and n_pad <= 1024)
     mlp_bytes = 8 * embed_dim * embed_dim * 2 + n_pad * 4 * embed_dim * 4
     return (ffn == "mlp" and attn_bytes <= 24 * 2 ** 20
             and mlp_bytes <= 48 * 2 ** 20 and n_pad <= 1024)

@@ -433,6 +433,12 @@ def projector_tail_supported(n_tokens: int, dim: int, num_heads: int,
         return False
     if n_tokens % 128 != 0 or dim % 128 != 0 or dim % num_heads != 0:
         return False
+    if dim > 768:
+        # bwd kernel VMEM: weights bf16 + fp32 weight-grad windows + fp32
+        # probs/hidden recompute — measured 153.65 MB (> the 128 MB cap)
+        # at dim=1024 (vitl teacher dims, r4); vits/vitb dims fit, larger
+        # teachers run the unfused XLA projector.
+        return False
     hidden = 4 * dim
     weight_bytes = (4 * dim * dim + 2 * dim * hidden) * 2
     act_bytes = (n_tokens * hidden * 4

@@ -28,7 +28,9 @@ def test_fused_block_support_matrix():
     assert not fused_block_supported(1536, "swiglu", 257)  # ViT-g
     assert not fused_block_supported(384, "mlp", 1370)  # 518px crop: N too long
     assert fused_split_supported(1024, "mlp", 257)      # ViT-L split path
-    assert not fused_split_supported(1536, "swiglu", 257)
+    # ViT-g swiglu split path (r4): supported at the real hidden width
+    assert fused_split_supported(1536, "swiglu", 257, 4096)
+    assert not fused_split_supported(4096, "swiglu", 257, 16384)
 
 
 def test_fused_split_matches_unfused(rng):
@@ -86,3 +88,21 @@ def test_fused_block_diff_roundtrip(rng):
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=5e-3, atol=5e-2)
+
+
+def test_fused_split_swiglu_matches_unfused(rng):
+    """SwiGLU (vitg) split-block kernel vs the unfused flax Block — the w12
+    chunk order (x1 = first half, silu-gated) must match SwiGLUFFNFused
+    (upstream dinov2/layers/swiglu_ffn.py)."""
+    from dinov2_distillation_tpu.ops.fused_block import fused_vit_block_split
+
+    cfg = ViTConfig("tiny_sg", embed_dim=128, depth=1, num_heads=2,
+                    ffn="swiglu", ffn_hidden=256)
+    blk = Block(cfg, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 257, 128)).astype(np.float32))
+    params = blk.init(jax.random.PRNGKey(0), x)["params"]
+
+    want = blk.apply({"params": params}, x)
+    got = fused_vit_block_split(x, params, num_heads=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)

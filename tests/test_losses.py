@@ -240,3 +240,21 @@ def test_fused_pair_loss_cos_cotangent(rng):
     np.testing.assert_allclose(np.asarray(jax.grad(cos_sum)(pair)),
                                np.asarray(jax.grad(cos_ref)(pair)),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_attention_rejects_non_dividing_heads():
+    """embed_dim % num_heads != 0 must raise (reference parity: the torch
+    (B,N,nh,hd) reshape throws — scalekd.py:303-306; the lane-slice path
+    would otherwise silently drop tail channels — found r4 at vitl dims)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from dinov2_distillation_tpu.losses.scalekd import (
+        WindowMultiheadPosAttention)
+
+    attn = WindowMultiheadPosAttention(
+        embed_dim=1024, pos_dim=1024, num_heads=24, dtype=jnp.float32)
+    x = jnp.zeros((1, 16, 1024))
+    with _pytest.raises(ValueError, match="not divisible"):
+        attn.init(jax.random.PRNGKey(0), x, x)
