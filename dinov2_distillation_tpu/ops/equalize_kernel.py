@@ -102,7 +102,15 @@ def equalize_subset(imgs: jnp.ndarray, valid: jnp.ndarray,
     """imgs (K, 3, H, W) integer-valued bf16/f32; valid (K,) bool — equalize
     the valid rows, pass the rest through."""
     k, c, h, w = imgs.shape
-    chunk = 8 if h % 8 == 0 else h
+    # Rolled-loop chunk height: bigger chunks amortize the ~1.1 us/iter
+    # fori overhead (r4 sweep at 224px, 18 valid samples: chunk 8 -> 279
+    # us/sample, 56 -> 200, 112 -> 205 — the VPU compare bound); cap at 56
+    # so per-iteration (256, chunk, W) temps stay ~6 MB.
+    chunk = h
+    for cand in range(min(h, 56), 7, -1):
+        if h % cand == 0 and cand % 8 == 0:
+            chunk = cand
+            break
     out = pl.pallas_call(
         functools.partial(_equalize_kernel, chunk=chunk),
         grid=(k,),
@@ -115,7 +123,10 @@ def equalize_subset(imgs: jnp.ndarray, valid: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k, c, h, w), imgs.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            # chunk-56 (256, chunk, W) f32 temps are ~20 MB; the default
+            # scoped limit is 16 MB
+            vmem_limit_bytes=64 * 2 ** 20),
         interpret=interpret,
     )(valid.astype(jnp.int32).reshape(k, 1), imgs)
     return out
