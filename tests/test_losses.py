@@ -211,14 +211,17 @@ def test_fused_pair_loss_matches_xla(rng):
                                rtol=1e-4, atol=1e-6)
 
 
-def test_fused_pair_loss_cos_cotangent(rng):
+def test_fused_pair_loss_cos_cotangent():
     """The cosine output's VJP path is faithful too (even though training
-    only differentiates the sq term)."""
+    only differentiates the sq term). Own fixed rng: the session-shared
+    stream made the rtol=1e-4 grad compare order-flaky (near-zero grad
+    components; same class as the r3 engine-parity flake)."""
     from dinov2_distillation_tpu.ops.scalekd_loss import pair_loss_sums
 
+    own = np.random.default_rng(20250821)
     b, n, d = 2, 16, 128
-    pair = jnp.asarray(rng.standard_normal((2, b, n, d)).astype(np.float32))
-    t = jnp.asarray(rng.standard_normal((b, n, d)).astype(np.float32))
+    pair = jnp.asarray(own.standard_normal((2, b, n, d)).astype(np.float32))
+    t = jnp.asarray(own.standard_normal((b, n, d)).astype(np.float32))
 
     def cos_sum(pair_):
         return jnp.sum(pair_loss_sums(pair_, t, (0, 1), True)[:, 1])
