@@ -94,7 +94,7 @@ def _shift_h_vm(x, shift, maxs: int):
     return out
 
 
-def _round_kernel(op_ref, par_ref, img_ref, out_ref, scratch_ref,
+def _round_kernel(op_ref, par_ref, img_ref, out_ref, scratch_ref, f32_ref,
                   *, maxs: int, branches: tuple):
     i = pl.program_id(0)
     op = op_ref[i, 0]
@@ -118,19 +118,43 @@ def _round_kernel(op_ref, par_ref, img_ref, out_ref, scratch_ref,
     scratch_ref[...] = img_ref[0]
 
     if "geo" in branches:
-        @pl.when((op >= _da._SHEAR_X) & (op <= _da._ROTATE))
-        def _geo():
-            # shift tables built in-register from 6 scalars (one SMEM row):
-            # saves three per-program DMAs; iotas are layout-native
-            rows = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0).astype(_F32)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1).astype(_F32)
+        # Per-PASS predication (r4): the x/y/x shear decomposition is an
+        # exact identity pass for every geometric op except its own axis
+        # (only rotation uses all three), and a zero-shift pass is
+        # bit-exact identity (f=0 selects one slice with weight 1.0) — so
+        # skipping it is free parity-wise and saves ~53% of the warp work
+        # (shear/translate run 1 pass instead of 3). Inter-pass values ride
+        # an f32 scratch: NO intermediate rounding, matching the XLA
+        # engine's unrounded 3-pass chain bit-for-bit.
+        geo = (op >= _da._SHEAR_X) & (op <= _da._ROTATE)
+        pass_a = (op == _da._SHEAR_X) | (op == _da._TRANS_X) | (op == _da._ROTATE)
+        pass_b = (op == _da._SHEAR_Y) | (op == _da._TRANS_Y) | (op == _da._ROTATE)
+        pass_c = op == _da._ROTATE
+        rows = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0).astype(_F32)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1).astype(_F32)
+
+        @pl.when(geo)
+        def _geo_init():
+            f32_ref[...] = load()
+
+        @pl.when(pass_a)
+        def _pass_a():
             sa = par_ref[i, 1] * rows + par_ref[i, 2]
+            f32_ref[...] = _shift_w_vm(f32_ref[...], sa, maxs)
+
+        @pl.when(pass_b)
+        def _pass_b():
             sb = par_ref[i, 3] * cols + par_ref[i, 4]
+            f32_ref[...] = _shift_h_vm(f32_ref[...], sb, maxs)
+
+        @pl.when(pass_c)
+        def _pass_c():
             sc = par_ref[i, 5] * rows + par_ref[i, 6]
-            y = _shift_w_vm(load(), sa, maxs)
-            y = _shift_h_vm(y, sb, maxs)
-            y = _shift_w_vm(y, sc, maxs)
-            store(y)
+            f32_ref[...] = _shift_w_vm(f32_ref[...], sc, maxs)
+
+        @pl.when(geo)
+        def _geo_store():
+            store(f32_ref[...])
 
     if "bright" in branches:
         @pl.when(op == _da._BRIGHT)
@@ -234,7 +258,8 @@ def randaugment_round(imgs: jnp.ndarray, op_idx: jnp.ndarray,
         out_specs=pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, c, h, w), imgs.dtype),
-        scratch_shapes=[pltpu.VMEM((c, h, w), imgs.dtype)],
+        scratch_shapes=[pltpu.VMEM((c, h, w), imgs.dtype),
+                        pltpu.VMEM((c, h, w), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,
