@@ -214,3 +214,37 @@ def test_fit_with_device_cache(tmp_path):
     val_metrics = trainer.fit()
     assert MONITOR in val_metrics
     assert np.isfinite(val_metrics[MONITOR])
+
+
+def test_fit_with_resnet_freeze_at(tmp_path):
+    """Config plumbing for the freeze machinery: student.freeze_at flows
+    through create_student -> ResNet(freeze_at) and freeze_mask_fn ->
+    optimizer masking, so a fit() leaves stem+res2 params and BN stats
+    exactly at init while res3.. train (reference freeze_at,
+    resnet.py:697-719)."""
+    import jax
+
+    cfg = _smoke_cfg([
+        "train.max_epochs=1",
+        "data_loader.synthetic_size=64",
+        "student.model_name=resnet_18",
+        "student.freeze_at=2",
+    ])
+    trainer = DistillationTrainer(cfg, log_root=str(tmp_path / "logs"))
+    trainer.setup_state()
+    p0 = jax.tree_util.tree_map(np.array, trainer.state.params["student"])
+    s0 = jax.tree_util.tree_map(np.array, trainer.state.batch_stats["student"])
+    trainer.fit()
+    p1 = trainer.state.params["student"]
+    s1 = trainer.state.batch_stats["student"]
+
+    def max_delta(a, b):
+        return max(float(np.abs(np.asarray(x) - np.asarray(y)).max())
+                   for x, y in zip(jax.tree_util.tree_leaves(a),
+                                   jax.tree_util.tree_leaves(b)))
+
+    assert max_delta(p1["backbone"]["stem"], p0["backbone"]["stem"]) == 0.0
+    assert max_delta(p1["backbone"]["res2_0"], p0["backbone"]["res2_0"]) == 0.0
+    assert max_delta(s1["backbone"]["stem"], s0["backbone"]["stem"]) == 0.0
+    assert max_delta(p1["backbone"]["res3_0"], p0["backbone"]["res3_0"]) > 0.0
+    assert max_delta(p1["backbone"]["res5_0"], p0["backbone"]["res5_0"]) > 0.0
