@@ -134,6 +134,14 @@ class DistillationTrainer:
         self.train_loader, self.val_loader = loaders
         logger.info(f"Batches/epoch: train={len(self.train_loader)} "
                     f"val={len(self.val_loader)} (global batch {self.global_batch})")
+        if len(self.train_loader) == 0:
+            # static shapes drop the ragged final batch, so a dataset
+            # smaller than the global batch would otherwise train ZERO
+            # steps per epoch with no signal (bit r4's own test authoring)
+            logger.warning(
+                f"train dataset smaller than the global batch "
+                f"({self.global_batch}): every epoch runs 0 steps — shrink "
+                f"data_loader.batch_size or grow the dataset")
 
         # --- models --------------------------------------------------------
         # BN statistics scope (reference: per-replica BN for non-timm
