@@ -96,11 +96,121 @@ def _equalize_kernel(valid_ref, img_ref, out_ref, *, chunk: int):
         equalize_one_sample(img_ref, out_ref, 0, chunk)
 
 
+# ---------------------------------------------------------------------------
+# Radix-16 formulation (round-5 rewrite of the O(256·pixels) passes above)
+# ---------------------------------------------------------------------------
+#
+# Split every pixel v = 16*hi + lo into nibbles and one-hot each nibble into
+# a (16, P) mask (P = H*W pixels on the LANE axis). Then
+#   hist[hi, lo] = sum_p  mh[hi, p] * ml[lo, p]      -- ONE (16,P)x(P,16)
+# MXU matmul replaces the 256-bin VPU compare/accumulate sweep, and the LUT
+# apply collapses to
+#   y[p] = sum_hi mh[hi, p] * (lut16x16 @ ml)[hi, p] -- one (16,16)@(16,P)
+# matmul + a 16-sublane multiply/reduce. VPU work drops from ~5*256 element
+# ops per pixel (compare+sum in the histogram, compare+mul+add in the apply)
+# to ~4 nibble ops + 2 compares + ~32 mul/add -- ~20x fewer; the O(256*P)
+# contractions ride the MXU at ~P/128 passes each. The cumulative-histogram /
+# PIL step math is unchanged (same formulas as equalize_one_sample, on a
+# (16,16) grid: n = V@hist@ones + hist@U with strict-triangular constants),
+# so the LUT is bit-identical to the 256-bin path.
+#
+# Layout notes (Mosaic rules, see module docstring): the image block rides
+# in as (1, C, 1, H*W) so each channel is a single (1, P) lane-major row;
+# nibble masks are (16, P) -- bins on sublanes, every pixel on lanes.
+
+
+def _strict_upper(n: int) -> jnp.ndarray:
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (r < c).astype(_F32)
+
+
+def _equalize_radix_kernel(valid_ref, img_ref, out_ref):
+    i = pl.program_id(0)
+    c, p = img_ref.shape[1], img_ref.shape[3]
+    out_ref[0] = img_ref[0]  # pass-through default
+
+    @pl.when(valid_ref[i, 0] > 0)
+    def _eq():
+        total = float(p)
+        iota16 = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0).astype(_F32)
+        # pre-expand the bin iota along lanes (single-op broadcast rule)
+        iota_p = iota16 + jnp.zeros((16, p), _F32)
+        upper = _strict_upper(16)            # U[a,b] = a < b
+        lower = jnp.transpose(upper)         # V[a,b] = a > b
+        ones16 = jnp.ones((16, 16), _F32)
+        lin = (16.0 * jax.lax.broadcasted_iota(jnp.int32, (16, 16), 0)
+               + jax.lax.broadcasted_iota(jnp.int32, (16, 16), 1)).astype(_F32)
+        for cc in range(c):
+            pix = img_ref[0, cc].astype(_F32)          # (1, P)
+            hi = jnp.floor(pix * (1.0 / 16.0))
+            lo = pix - 16.0 * hi
+            mh = (hi == iota_p).astype(_F32)           # (16, P)
+            ml = (lo == iota_p).astype(_F32)           # (16, P)
+            hist = jax.lax.dot_general(
+                mh, ml, (((1,), (1,)), ((), ())),
+                preferred_element_type=_F32)           # (16, 16) bin counts
+            # exclusive cumulative count n[v] = #pixels < v, v = 16*hi+lo:
+            # row-exclusive prefix (over hi) + lane-exclusive prefix (over lo).
+            # HIGHEST precision: hist holds counts up to H*W (not bf16-exact),
+            # and the MXU's default single-pass bf16 truncation of the f32
+            # operand shifts n by up to ~200 -> 1-LSB LUT errors (measured
+            # 3% of pixels on TPU; the mask/lut dots are exact as 0/1 and
+            # <=255-valued operands are bf16-exact)
+            hp = jax.lax.Precision.HIGHEST
+            row_excl = jnp.dot(lower, jnp.dot(hist, ones16, precision=hp,
+                                              preferred_element_type=_F32),
+                               precision=hp, preferred_element_type=_F32)
+            n = row_excl + jnp.dot(hist, upper, precision=hp,
+                                   preferred_element_type=_F32)
+            # h_last = count at the channel max = hist at the last nonzero bin
+            lin_masked = jnp.where(hist > 0.0, lin, -1.0)
+            idx_max = jnp.max(jnp.max(lin_masked, axis=1, keepdims=True))
+            h_last = jnp.sum(jnp.sum(
+                jnp.where(lin == idx_max, hist, 0.0), axis=1, keepdims=True))
+            step = jnp.floor((total - h_last) * (1.0 / 255.0))
+            lut = jnp.floor((jnp.floor(step * 0.5) + n) /
+                            jnp.maximum(step, 1.0))
+            lut = jnp.where(step > 0.0, jnp.clip(lut, 0.0, 255.0), lin)
+            mapped = jnp.dot(lut, ml, preferred_element_type=_F32)  # (16, P)
+            y = jnp.sum(mh * mapped, axis=0, keepdims=True)         # (1, P)
+            out_ref[0, cc] = y.astype(out_ref.dtype)
+
+
+def _equalize_subset_radix(imgs: jnp.ndarray, valid: jnp.ndarray,
+                           *, interpret: bool) -> jnp.ndarray:
+    k, c, h, w = imgs.shape
+    flat = imgs.reshape(k, c, 1, h * w)
+    out = pl.pallas_call(
+        _equalize_radix_kernel,
+        grid=(k,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, c, 1, h * w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c, 1, h * w), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, c, 1, h * w), imgs.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            # two (16, P) f32 masks + the mapped product + compare temps:
+            # ~16 MB at 224px; headroom for the scheduler's double buffers
+            vmem_limit_bytes=64 * 2 ** 20),
+        interpret=interpret,
+    )(valid.astype(jnp.int32).reshape(k, 1), flat)
+    return out.reshape(k, c, h, w)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def equalize_subset(imgs: jnp.ndarray, valid: jnp.ndarray,
                     *, interpret: bool = False) -> jnp.ndarray:
     """imgs (K, 3, H, W) integer-valued bf16/f32; valid (K,) bool — equalize
     the valid rows, pass the rest through."""
+    import os
+
+    if os.environ.get("DKT_EQ_RADIX", "1") != "0":
+        return _equalize_subset_radix(imgs, valid, interpret=interpret)
     k, c, h, w = imgs.shape
     # Rolled-loop chunk height: bigger chunks amortize the ~1.1 us/iter
     # fori overhead (r4 sweep at 224px, 18 valid samples: chunk 8 -> 279
