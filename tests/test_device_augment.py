@@ -238,6 +238,30 @@ def test_point_round_dispatch(rng):
                                    atol=1e-3, err_msg=f"op row {i}")
 
 
+def test_equalize_radix_kernel_full_res(rng):
+    """The radix-16 equalize kernel (ops/equalize_kernel) must be bit-exact
+    against the PIL-pinned single-image reference at flagship 224px geometry
+    — the (16,P) nibble masks, triangular-matmul cumulative counts, and the
+    LUT matmul apply all see full-res lane tiling only at this size (the
+    32px engine-parity test exercises a single 8-lane-tile wide image)."""
+    from dinov2_distillation_tpu.ops.equalize_kernel import equalize_subset
+
+    k = 4
+    imgs = np.asarray(rng.integers(0, 256, (k, 3, 224, 224)), np.float32)
+    valid = np.asarray([True, False, True, True])
+    got = np.asarray(
+        equalize_subset(jnp.asarray(imgs, jnp.bfloat16), jnp.asarray(valid),
+                        interpret=True), np.float32)
+    for i in range(k):
+        if valid[i]:
+            want = np.asarray(da._equalize(
+                jnp.asarray(imgs[i].transpose(1, 2, 0)),
+                jnp.float32(0))).transpose(2, 0, 1)
+            np.testing.assert_array_equal(got[i], want, err_msg=f"sample {i}")
+        else:
+            np.testing.assert_array_equal(got[i], imgs[i])
+
+
 def test_point_round_equalize_subset(rng):
     """Equalize rides the capacity-bounded gather/scatter: exactly the
     samples that drew op 13 are equalized, everyone else untouched."""
