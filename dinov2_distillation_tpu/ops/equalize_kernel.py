@@ -30,6 +30,7 @@ floor(f32-div) == integer div.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -177,6 +178,7 @@ def _equalize_radix_kernel(valid_ref, img_ref, out_ref):
             out_ref[0, cc] = y.astype(out_ref.dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def _equalize_subset_radix(imgs: jnp.ndarray, valid: jnp.ndarray,
                            *, interpret: bool) -> jnp.ndarray:
     k, c, h, w = imgs.shape
@@ -202,15 +204,21 @@ def _equalize_subset_radix(imgs: jnp.ndarray, valid: jnp.ndarray,
     return out.reshape(k, c, h, w)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
 def equalize_subset(imgs: jnp.ndarray, valid: jnp.ndarray,
                     *, interpret: bool = False) -> jnp.ndarray:
     """imgs (K, 3, H, W) integer-valued bf16/f32; valid (K,) bool — equalize
-    the valid rows, pass the rest through."""
-    import os
-
+    the valid rows, pass the rest through. ``DKT_EQ_RADIX=0`` selects the
+    256-bin kernel (env resolved here, outside the jitted cores, so flipping
+    it between calls can never hit a stale trace)."""
     if os.environ.get("DKT_EQ_RADIX", "1") != "0":
         return _equalize_subset_radix(imgs, valid, interpret=interpret)
+    return _equalize_subset_bins(imgs, valid, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _equalize_subset_bins(imgs: jnp.ndarray, valid: jnp.ndarray,
+                          *, interpret: bool = False) -> jnp.ndarray:
+    """256-bin per-sample kernel (the pre-radix path; see module docstring)."""
     k, c, h, w = imgs.shape
     # Rolled-loop chunk height: bigger chunks amortize the ~1.1 us/iter
     # fori overhead (r4 sweep at 224px, 18 valid samples: chunk 8 -> 279
