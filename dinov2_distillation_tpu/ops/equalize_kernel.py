@@ -1,12 +1,21 @@
 """PIL ImageOps.equalize as a Pallas kernel over a gathered sample subset.
 
-The XLA formulation (device_augment._equalize_batch) broadcasts a
-(K, H, W, C, 256) compare against the bin iota twice (histogram + LUT
-apply) — measured ~10 ms per round at the r3 capacity (52) because the
-broadcast materializes through HBM. Here each program holds one sample's
-(3, H, W) in VMEM and streams row chunks against the 256 bins in-register:
-one read + one write of the subset per round, ~77M VPU ops per valid
-program (~B/14 of them; the rest copy through under the ``valid`` flag).
+Two generations live here, selected by ``DKT_EQ_RADIX`` (default: radix):
+
+* **Radix-16** (r5, ``_equalize_subset_radix``): pixels split into nibbles,
+  each nibble one-hot into a (16, P) lane-major mask — 32 compares/pixel.
+  The 256-bin histogram is ONE MXU matmul ``hist[hi,lo] = Σ_p mh·ml``;
+  cumulative counts are strict-triangular (16,16) matmuls; the LUT apply is
+  a (16,16)@(16,P) matmul + a 16-sublane multiply/reduce. Measured 8.4 µs
+  per valid sample at 224px (16× the 256-bin kernel; ~7.7× net of the
+  (K,3,H,W)↔(K,3,1,H·W) boundary reshapes).
+* **256-bin** (r3, ``_equalize_subset_bins``): each program streams row
+  chunks of one VMEM-resident (3, H, W) sample against the 256-bin iota
+  twice (histogram + LUT apply), ~77M VPU ops per valid program.
+
+Both replace the XLA formulation (device_augment._equalize_batch), which
+broadcasts a (K, H, W, C, 256) compare through HBM (~10 ms/round at the r3
+capacity); programs whose ``valid`` flag is 0 copy through unchanged.
 
 Mosaic layout discipline (hard-won): the 256 bins live on the LEADING
 (sub-lane-major) axis — ``(256, chunk, W)`` compares are plain broadcasts
