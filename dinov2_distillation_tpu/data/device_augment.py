@@ -543,7 +543,9 @@ def _point_round(img: jnp.ndarray, op_idx: jnp.ndarray, mag: jnp.ndarray,
     sub = jnp.take(img, idx, axis=0)
     eq = _equalize_batch(sub)
     valid = eq_mask[idx][:, None, None, None]
-    out = out.at[idx].set(jnp.where(valid, eq, jnp.take(out, idx, axis=0)))
+    # argsort-slice rows are unique — see _equalize_subset_nchw scatter note
+    out = out.at[idx].set(jnp.where(valid, eq, jnp.take(out, idx, axis=0)),
+                          unique_indices=True, mode="promise_in_bounds")
     overflow = jnp.maximum(jnp.sum(eq_mask.astype(jnp.int32)) - kcap, 0)
     return out, overflow
 
@@ -573,16 +575,21 @@ def _equalize_subset_nchw(img: jnp.ndarray, op_idx: jnp.ndarray,
     order = jnp.argsort(jnp.logical_not(eq_mask), stable=True)
     idx = order[:kcap]
     sub = jnp.take(img, idx, axis=0)
+    # idx rows are an argsort slice of arange — unique and in-bounds by
+    # construction; telling XLA so lets it skip the guarded scatter path
+    # (measured ~neutral on TPU — the write-back was already well fused —
+    # but it is free and removes the out-of-bounds select from the HLO).
+    scatter_args = dict(unique_indices=True, mode="promise_in_bounds")
     if kernel_mode != "off":
         from ..ops.equalize_kernel import equalize_subset
 
         eq_all = equalize_subset(sub, eq_mask[idx],
                                  interpret=(kernel_mode == "interpret"))
-        return img.at[idx].set(eq_all), overflow
+        return img.at[idx].set(eq_all, **scatter_args), overflow
     eq = _equalize_batch(sub.astype(jnp.float32).transpose(0, 2, 3, 1))
     eq = eq.transpose(0, 3, 1, 2).astype(img.dtype)
     valid = eq_mask[idx][:, None, None, None]
-    return img.at[idx].set(jnp.where(valid, eq, sub)), overflow
+    return img.at[idx].set(jnp.where(valid, eq, sub), **scatter_args), overflow
 
 
 def _draw_round(r_aug: jnp.ndarray, i: int, mags: jnp.ndarray):
