@@ -204,7 +204,10 @@ def _equalize_subset_radix(imgs: jnp.ndarray, valid: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k, c, 1, h * w), imgs.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            # programs touch disjoint blocks -> parallel semantics (measured
+            # 2.10 vs 2.89 ms/call at k=52 against "arbitrary": Mosaic can
+            # pipeline the block DMAs across grid steps)
+            dimension_semantics=("parallel",),
             # two (16, P) f32 masks + the mapped product + compare temps:
             # ~16 MB at 224px; headroom for the scheduler's double buffers
             vmem_limit_bytes=64 * 2 ** 20),
