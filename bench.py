@@ -37,6 +37,27 @@ from dinov2_distillation_tpu.train.state import init_state, make_train_step
 
 BASELINE_IMG_PER_SEC_PER_CHIP = 635.0 / 2  # reference: 2x GPU DDP, run.ipynb
 
+# TPU v5e per-chip bf16 peak (public spec: 197 TFLOP/s). Overridable for
+# other chip generations: DKT_PEAK_TFLOPS=<N>.
+PEAK_FLOPS = float(__import__("os").environ.get("DKT_PEAK_TFLOPS", "197")) * 1e12
+
+
+def step_flops(step, state, batch):
+    """FLOPs of one compiled train step, from XLA's own cost model
+    (``Compiled.cost_analysis()`` — the same count ``xprof`` roofs against).
+
+    Lower-bound caveat: Pallas custom kernels are opaque to the HLO cost
+    model (the fused projector / ViT-block / augment kernels report no
+    flops), so the derived ``mfu`` is a floor, not an estimate."""
+    try:
+        ca = step.lower(state, batch).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
 
 def ensure_corpus(dirpath: str, n: int, size=(500, 375)) -> None:
     """Synthesize a JPEG corpus once (smooth low-frequency images — realistic
@@ -86,6 +107,7 @@ def run_e2e(args, cfg, mesh, state, step, global_batch: int, crop: int) -> int:
     arng = jax.random.PRNGKey(0)
     scale = tuple(float(s) for s in cfg.data_transform.global_crops_scale)
     stream = bool(getattr(args, "e2e_stream", False))
+    last = {}  # last augmented batch (for the post-hoc flops/mfu lookup)
 
     if stream:
         loader = DataLoader(
@@ -102,6 +124,7 @@ def run_e2e(args, cfg, mesh, state, step, global_batch: int, crop: int) -> int:
                     aug = augment_batch(
                         staged["image"], jax.random.fold_in(arng, i),
                         crop_size=crop, scale=scale)
+                    last["aug"] = aug
                     state, metrics = step(state, aug)
                     i += 1
                     if i >= n_steps:
@@ -129,6 +152,7 @@ def run_e2e(args, cfg, mesh, state, step, global_batch: int, crop: int) -> int:
                 for item in cache:
                     aug = gather_augment(cache.frames, item["indices"],
                                          jax.random.fold_in(arng, i))
+                    last["aug"] = aug
                     state, metrics = step(state, aug)
                     i += 1
                     if i >= n_steps:
@@ -166,6 +190,11 @@ def run_e2e(args, cfg, mesh, state, step, global_batch: int, crop: int) -> int:
             "final_loss": final_loss,
         },
     }
+    flops = step_flops(step, state, last.get("aug"))
+    if flops:
+        result["detail"]["flops_per_step"] = flops
+        result["detail"]["mfu"] = round(
+            flops / (dt / args.steps) / (PEAK_FLOPS * mesh.size), 4)
     if getattr(args, "_collect", False):
         return result
     print(json.dumps(result))
@@ -292,6 +321,14 @@ def main(argv=None) -> int:
             "final_loss": final_loss,
         },
     }
+    flops = step_flops(step, state, batches[0])
+    if flops:
+        result["detail"]["flops_per_step"] = flops
+        result["detail"]["mfu"] = round(
+            flops / (dt / args.steps) / (PEAK_FLOPS * n_chips), 4)
+        result["detail"]["mfu_note"] = (
+            "XLA cost-model flops / step_time / peak; Pallas kernels are "
+            "opaque to the cost model, so this is a floor")
     if not args.quick:
         # the loader-fed system number rides along in detail (VERDICT r2:
         # a chip-only rate describes a chip the input path may starve)

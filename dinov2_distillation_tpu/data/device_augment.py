@@ -114,7 +114,11 @@ def _rotate(img, mag):
 # definitions (tests pin them against PIL); batched forms below share math
 # ---------------------------------------------------------------------------
 
-_L_WEIGHTS = jnp.asarray([0.299, 0.587, 0.114])  # PIL ITU-R 601-2 luma
+# numpy (not jnp) on purpose: module-level jnp constants dispatch eagerly
+# to the ambient backend at import time, which breaks the TPU-free
+# contract of dryrun_multichip (VERDICT r4 #1); traced code converts
+# these for free at trace time.
+_L_WEIGHTS = np.asarray([0.299, 0.587, 0.114])  # PIL ITU-R 601-2 luma
 
 
 def _blend(a, b, factor):
@@ -139,7 +143,7 @@ def _contrast(img, mag):
     return _blend(jnp.full_like(img, mean), img, 1.0 + mag)
 
 
-_SMOOTH = jnp.asarray([[1.0, 1.0, 1.0], [1.0, 5.0, 1.0], [1.0, 1.0, 1.0]]) / 13.0
+_SMOOTH = np.asarray([[1.0, 1.0, 1.0], [1.0, 5.0, 1.0], [1.0, 1.0, 1.0]]) / 13.0
 
 
 def _sharpness(img, mag):
@@ -218,7 +222,7 @@ def _magnitude_table(num_bins: int, size: int) -> jnp.ndarray:
 
 
 _N_OPS = 14
-_SIGNED = jnp.asarray([0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0], jnp.float32)
+_SIGNED = np.asarray([0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0], np.float32)
 
 # op indices (order above == torchvision RandAugment._augmentation_space)
 _SHEAR_X, _SHEAR_Y, _TRANS_X, _TRANS_Y, _ROTATE = 1, 2, 3, 4, 5
@@ -600,7 +604,7 @@ def _draw_round(r_aug: jnp.ndarray, i: int, mags: jnp.ndarray):
     r_op, r_sign = rs[:, 0], rs[:, 1]
     op_idx = jax.vmap(lambda k_: jax.random.randint(k_, (), 0, _N_OPS))(r_op)
     u_sign = jax.vmap(jax.random.uniform)(r_sign)
-    sign = jnp.where((u_sign < 0.5) & (_SIGNED[op_idx] > 0), -1.0, 1.0)
+    sign = jnp.where((u_sign < 0.5) & (jnp.asarray(_SIGNED)[op_idx] > 0), -1.0, 1.0)
     return op_idx, mags[op_idx] * sign
 
 

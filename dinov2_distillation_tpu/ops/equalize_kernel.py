@@ -220,8 +220,10 @@ def equalize_subset(imgs: jnp.ndarray, valid: jnp.ndarray,
                     *, interpret: bool = False) -> jnp.ndarray:
     """imgs (K, 3, H, W) integer-valued bf16/f32; valid (K,) bool — equalize
     the valid rows, pass the rest through. ``DKT_EQ_RADIX=0`` selects the
-    256-bin kernel (env resolved here, outside the jitted cores, so flipping
-    it between calls can never hit a stale trace)."""
+    256-bin kernel. The env var is read here, outside the jitted cores, but
+    the production call site traces this function inside the jitted augment
+    pipeline — like the other DKT_* toggles it is resolved at trace time of
+    the enclosing jit, so set it before the first step."""
     if os.environ.get("DKT_EQ_RADIX", "1") != "0":
         return _equalize_subset_radix(imgs, valid, interpret=interpret)
     return _equalize_subset_bins(imgs, valid, interpret=interpret)

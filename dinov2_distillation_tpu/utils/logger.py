@@ -21,12 +21,33 @@ from typing import Optional
 
 
 def _process_index() -> int:
+    """Process index WITHOUT forcing XLA backend initialization.
+
+    ``get_logger()`` runs at import time of several modules, and importing
+    the package must never create a backend (the multi-chip dry run's
+    "zero TPU contact before the CPU bootstrap" contract — VERDICT r4 #1).
+    ``jax.distributed.initialize`` records the process id in
+    ``distributed.global_state`` without a backend, and it defaults to 0
+    in single-process runs; only fall back to ``jax.process_index()`` when
+    a backend already exists (then it is free).
+    """
+    try:
+        from jax._src import distributed
+
+        pid = getattr(distributed.global_state, "process_id", None)
+        if pid is not None:
+            return int(pid)
+    except Exception:
+        pass
     try:
         import jax
+        import jax._src.xla_bridge as xb
 
-        return jax.process_index()
+        if getattr(xb, "_backends", None):
+            return jax.process_index()
     except Exception:
-        return 0
+        pass
+    return 0
 
 
 class _ColorfulFormatter(logging.Formatter):

@@ -53,6 +53,10 @@ def main(argv=None) -> int:
 
     trace = load_trace(args.logdir)
     pids = device_pids(trace)
+    if not pids:
+        print("WARNING: no device-track process metadata matched — totals "
+              "below include HOST events and are NOT device time",
+              file=sys.stderr)
     groups = collections.defaultdict(lambda: [0.0, 0, ""])  # us, count, sample long
     total = 0.0
     for ev in trace.get("traceEvents", []):
@@ -77,7 +81,9 @@ def main(argv=None) -> int:
     for name, (us, cnt, long_name) in rows[: args.top]:
         label = name if args.long or not long_name else f"{name}  [{long_name[:90]}]"
         print(f"{us / args.steps:10.1f} {cnt:6d}  {label[:160]}")
-    print(f"\ntotal device time: {total / args.steps / 1000:.2f} ms/step "
+    kind = "filtered total" if args.like else "total"
+    scope = "device time" if pids else "time (NO pid filter — includes host)"
+    print(f"\n{kind} {scope}: {total / args.steps / 1000:.2f} ms/step "
           f"({len(groups)} distinct ops)")
     return 0
 

@@ -238,20 +238,25 @@ def test_point_round_dispatch(rng):
                                    atol=1e-3, err_msg=f"op row {i}")
 
 
-def test_equalize_radix_kernel_full_res(rng):
-    """The radix-16 equalize kernel (ops/equalize_kernel) must be bit-exact
-    against the PIL-pinned single-image reference at flagship 224px geometry
-    — the (16,P) nibble masks, triangular-matmul cumulative counts, and the
-    LUT matmul apply all see full-res lane tiling only at this size (the
-    32px engine-parity test exercises a single 8-lane-tile wide image)."""
-    from dinov2_distillation_tpu.ops.equalize_kernel import equalize_subset
+@pytest.mark.parametrize("path", ["radix", "bins"])
+def test_equalize_kernel_full_res(rng, path):
+    """Both equalize kernels (ops/equalize_kernel) must be bit-exact against
+    the PIL-pinned single-image reference at flagship 224px geometry — the
+    radix path's (16,P) nibble masks, triangular-matmul cumulative counts,
+    and LUT matmul apply all see full-res lane tiling only at this size (the
+    32px engine-parity test exercises a single 8-lane-tile wide image); the
+    256-bin path is the documented ``DKT_EQ_RADIX=0`` escape hatch and must
+    stay pinned too (ADVICE r4)."""
+    from dinov2_distillation_tpu.ops import equalize_kernel as ek
 
+    kernel = (ek._equalize_subset_radix if path == "radix"
+              else ek._equalize_subset_bins)
     k = 4
     imgs = np.asarray(rng.integers(0, 256, (k, 3, 224, 224)), np.float32)
     valid = np.asarray([True, False, True, True])
     got = np.asarray(
-        equalize_subset(jnp.asarray(imgs, jnp.bfloat16), jnp.asarray(valid),
-                        interpret=True), np.float32)
+        kernel(jnp.asarray(imgs, jnp.bfloat16), jnp.asarray(valid),
+               interpret=True), np.float32)
     for i in range(k):
         if valid[i]:
             want = np.asarray(da._equalize(
