@@ -13,10 +13,13 @@ ConvX = conv+BN+ReLU), three timings on the real chip:
                im2col/direct kernel would take if patch extraction were free
   conv_bwd   : fwd+bwd of conv (dx+dw via jax.grad of sum)
 
-Timing discipline (CLAUDE.md): each measurement is ONE dispatch of a
-lax.scan chain with a data dependence between iterations (an iteration-
-dependent scalar bump prevents hoisting), synced by a device->host scalar
-fetch before and after; per-iteration time = total/iters.
+Timing discipline (CLAUDE.md + r5 measurement): the tunnel round-trip for
+a dispatch+scalar-fetch measured ~25 ms this session, so per-iteration
+times come from DIFFERENTIAL timing of one-dispatch lax.scan chains:
+t_iter = (T(iters) - T(1)) / (iters - 1), each T a median of reps. The
+per-iteration weight bump must survive bf16 rounding (1 + i*1e-8 rounds
+to exactly 1 in bf16 and lets XLA hoist the conv — the first run of this
+script measured pure overhead that way); 0.004 steps are representable.
 
 Output: one line per shape with eff TFLOP/s for each form + the ratio.
 ratio ~1 => XLA conv is already at the im2col machine bound for that shape
@@ -79,20 +82,32 @@ DW_SHAPES = [
 PEAK = 197e12  # v5e bf16
 
 
-def timed(fn, *args, iters, reps=3):
-    """Median of reps timings of fn(*args) (fn returns a scalar); the chain
-    inside fn must already contain `iters` dependent iterations."""
-    out = fn(*args)
-    float(out)  # sync after warmup/compile
+def _median_total(fn, args, reps):
+    float(fn(*args))  # warmup/compile + sync
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
         float(fn(*args))
         ts.append(time.perf_counter() - t0)
-    return sorted(ts)[len(ts) // 2] / iters
+    return sorted(ts)[len(ts) // 2]
 
 
-def conv_chain(x, w, stride, iters, bwd=False, groups=1):
+LO_ITERS = 200
+
+
+def timed(fn, *args, iters, reps=5):
+    """Differential per-iteration time: the ~25 ms (+/- 2-3 jitter)
+    dispatch+fetch round-trip measured this session dwarfs sub-ms kernels,
+    and a small iteration delta drowns in the jitter — so time the chain at
+    `iters` (default 1000) and at LO_ITERS=200 and divide the difference by
+    800: the delta is >= ~15 ms even for ~20 us kernels."""
+    assert iters > LO_ITERS
+    t_n = _median_total(fn, args[:-1] + (iters,), reps)
+    t_1 = _median_total(fn, args[:-1] + (LO_ITERS,), reps)
+    return max(t_n - t_1, 1e-9) / (iters - LO_ITERS)
+
+
+def conv_chain(x, w, stride, bwd, groups, iters):
     dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
     pad = "SAME" if w.shape[0] > 1 else "VALID"
 
@@ -104,18 +119,28 @@ def conv_chain(x, w, stride, iters, bwd=False, groups=1):
             feature_group_count=groups)
 
     if bwd:
+        # sum(o**2): sum(conv) alone has a closed form (one input reduce +
+        # a tiny dot) and a sliced output lets XLA narrow the conv window —
+        # both were measured as "conv faster than peak" artifacts. The
+        # square forces the full conv and gives the real bwd pair
+        # (dx = conv_T(2o, w), dw = corr(x, 2o)).
         def loss(x_, w_):
-            return jnp.sum(conv_w(x_, w_).astype(jnp.float32))
+            o = conv_w(x_, w_)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
 
         def body(c, i):
-            wi = w * (1 + i * jnp.bfloat16(1e-8))
+            wi = w * (1 + i * jnp.bfloat16(0.004))
             l, (gx, gw) = jax.value_and_grad(loss, argnums=(0, 1))(x, wi)
-            return (c + l + jnp.sum(gx[0, 0, 0, :3].astype(jnp.float32))
-                    + jnp.sum(gw[0, 0, 0, :3].astype(jnp.float32))), None
+            # full nonlinear consumption of BOTH grads — sliced consumption
+            # let XLA narrow dx/dw to a 3-element window (measured "bwd
+            # faster than fwd, 520 TF/s" artifacts)
+            return (c + l + jnp.sum(gx.astype(jnp.float32) ** 2)
+                    + jnp.sum(gw.astype(jnp.float32) ** 2)), None
     else:
         def body(c, i):
-            wi = w * (1 + i * jnp.bfloat16(1e-8))
-            return c + jnp.sum(conv_w(x, wi)[:, 0, 0, :4].astype(jnp.float32)), None
+            wi = w * (1 + i * jnp.bfloat16(0.004))
+            o = conv_w(x, wi)
+            return c + jnp.sum(o.astype(jnp.float32) ** 2), None
 
     c, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(iters, dtype=jnp.bfloat16))
     return c
@@ -123,10 +148,13 @@ def conv_chain(x, w, stride, iters, bwd=False, groups=1):
 
 def gemm_chain(a, b, iters):
     def body(c, i):
-        bi = b * (1 + i * jnp.bfloat16(1e-8))
+        bi = b * (1 + i * jnp.bfloat16(0.004))
         out = jax.lax.dot_general(a, bi, (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
-        return c + jnp.sum(out[0, :4]), None
+        # consume the FULL output nonlinearly (see conv_chain note); cast to
+        # bf16 first so the square-reduce traffic matches the conv form
+        ob = out.astype(jnp.bfloat16)
+        return c + jnp.sum(ob.astype(jnp.float32) ** 2), None
 
     c, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(iters, dtype=jnp.bfloat16))
     return c
@@ -135,7 +163,7 @@ def gemm_chain(a, b, iters):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=256)
-    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--iters", type=int, default=1000)
     p.add_argument("--only", default=None, help="substring filter on tag")
     p.add_argument("--skip-bwd", action="store_true")
     args = p.parse_args(argv)
@@ -143,6 +171,7 @@ def main(argv=None):
     b = args.batch
     jit_conv = jax.jit(conv_chain,
                        static_argnames=("stride", "iters", "bwd", "groups"))
+    assert args.iters > LO_ITERS
     jit_gemm = jax.jit(gemm_chain, static_argnames=("iters",))
 
     rows = []
@@ -160,12 +189,13 @@ def main(argv=None):
         a = jnp.asarray(rng.standard_normal((m, kk)), jnp.bfloat16)
         g = jnp.asarray(0.05 * rng.standard_normal((kk, n)), jnp.bfloat16)
 
-        t_conv = timed(jit_conv, x, w, stride, args.iters, iters=args.iters)
+        t_conv = timed(jit_conv, x, w, stride, False, 1, args.iters,
+                       iters=args.iters)
         t_gemm = timed(jit_gemm, a, g, args.iters, iters=args.iters)
         if args.skip_bwd:
             t_bwd = float("nan")
         else:
-            t_bwd = timed(jit_conv, x, w, stride, args.iters, True,
+            t_bwd = timed(jit_conv, x, w, stride, True, 1, args.iters,
                           iters=args.iters)
         # pad-tax utilization cap: K and N pad to 128 lanes, M to 8 sublanes
         pad = (kk / (128 * math.ceil(kk / 128))) * (n / (128 * math.ceil(n / 128)))
@@ -195,14 +225,23 @@ def main(argv=None):
             continue
         x = jnp.asarray(rng.standard_normal((b, hin, hin, c)), jnp.bfloat16)
         w = jnp.asarray(0.05 * rng.standard_normal((3, 3, 1, c)), jnp.bfloat16)
-        t_conv = timed(jit_conv, x, w, 2, args.iters, False, c,
-                       iters=args.iters)
-        t_bwd = (float("nan") if args.skip_bwd else
-                 timed(jit_conv, x, w, 2, args.iters, True, c,
-                       iters=args.iters))
+        try:
+            t_conv = timed(jit_conv, x, w, 2, False, c, args.iters,
+                           iters=args.iters)
+        except Exception as e:
+            print(f"{tag}: fwd failed: {str(e)[:80]}")
+            continue
+        try:
+            t_bwd = (float("nan") if args.skip_bwd else
+                     timed(jit_conv, x, w, 2, True, c, args.iters,
+                           iters=args.iters))
+        except Exception as e:  # dw bwd hit a remote tpu_compile_helper 500
+            print(f"{tag}: bwd failed: {str(e)[:80]}")
+            t_bwd = float("nan")
         fl = 2.0 * b * (hin // 2) ** 2 * 9 * c
         tot["conv_fwd"] += count * t_conv
-        tot["conv_bwd"] += 0 if args.skip_bwd else count * t_bwd
+        if not math.isnan(t_bwd):
+            tot["conv_bwd"] += count * t_bwd
         tot["flops"] += count * fl
         tot["flops_bwd"] += count * 3 * fl
         print(f"{tag:10s} depthwise C={c} H={hin}  conv {1e3*t_conv:7.3f} ms  "
