@@ -138,6 +138,24 @@ def get_logger() -> logging.Logger:
     return _LOGGER
 
 
+def reconfigure_logger(rank: Optional[int] = None,
+                       output: Optional[str] = None) -> logging.Logger:
+    """Re-apply handler config once the real process rank is known.
+
+    Modules configure the singleton at import time, which may precede
+    ``jax.distributed.initialize`` — the rank then reads 0 on every host
+    and non-zero hosts would log at INFO with no ``.rankN`` file suffix
+    (reference avoids this only because its logger is configured inside
+    the already-initialized DDP worker, :420-422). train.py calls this
+    right after distributed init."""
+    global _LOGGER
+    logger = logging.getLogger("dinov2_distillation_tpu")
+    for h in list(logger.handlers):
+        logger.removeHandler(h)
+    _LOGGER = setup_logger(output, distributed_rank=rank)
+    return _LOGGER
+
+
 # --- rate-limited helpers (reference :328-394) -------------------------------
 
 _LOG_COUNTER: Counter = Counter()

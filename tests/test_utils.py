@@ -129,3 +129,32 @@ def test_swin_rel_pos_table_interpolation_on_load():
     np.testing.assert_allclose(
         np.asarray(out["attn"]["relative_position_bias_table"]), want,
         atol=2e-5, rtol=1e-4)
+
+
+def test_reconfigure_logger_applies_rank(tmp_path):
+    """After jax.distributed.initialize the import-time singleton must be
+    re-rankable: rank>0 logs to stderr at ERROR and gets a .rankN file
+    (reference utils/logger.py:420-422, :456-481); rank 0 restores the
+    stdout INFO handler. The singleton identity is preserved for holders
+    of earlier get_logger() references."""
+    import sys
+
+    from dinov2_distillation_tpu.utils.logger import reconfigure_logger
+
+    held = get_logger()
+    out = str(tmp_path / "log.txt")
+    lg = reconfigure_logger(rank=2, output=out)
+    try:
+        assert lg is held  # same logging.Logger object, new handlers
+        streams = [getattr(h, "stream", None) for h in lg.handlers]
+        assert sys.stderr in streams
+        levels = {h.level for h in lg.handlers
+                  if getattr(h, "stream", None) is sys.stderr}
+        assert levels == {logging.ERROR}
+        lg.error("boom from rank 2")
+        assert (tmp_path / "log.txt.rank2").exists()
+        assert "boom from rank 2" in (tmp_path / "log.txt.rank2").read_text()
+    finally:
+        lg2 = reconfigure_logger(rank=0)
+        assert any(getattr(h, "stream", None) is sys.stdout
+                   for h in lg2.handlers)

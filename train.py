@@ -46,6 +46,10 @@ def main(argv=None) -> None:
         import jax
 
         jax.distributed.initialize()
+        from dinov2_distillation_tpu.utils.logger import reconfigure_logger
+
+        # imports configured the singleton before the rank existed
+        reconfigure_logger(rank=jax.process_index())
         get_logger().info(
             f"jax.distributed initialized: process {jax.process_index()}/"
             f"{jax.process_count()}")
