@@ -81,3 +81,16 @@ def test_yaml_roundtrip(tmp_path):
 def test_bad_override_raises():
     with pytest.raises(ValueError):
         apply_overrides(_base_cfg(), ["no_equals_sign"])
+
+
+def test_cli_dashed_override_syntax():
+    """The reference README documents ``--train.max_epochs 100``-style
+    overrides (readme.md:275, never implemented there); both that form and
+    the plain ``k.path=v`` form must parse (train.py:_fold_dashed_overrides)."""
+    from train import parse_args
+
+    a = parse_args(["--config", "c.yaml", "--train.max_epochs", "100",
+                    "optimizer.kwargs.lr=5e-4", "--wandb.project=x"])
+    assert a.config == "c.yaml"
+    assert a.overrides == ["train.max_epochs=100",
+                           "optimizer.kwargs.lr=5e-4", "wandb.project=x"]

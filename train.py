@@ -26,9 +26,32 @@ def parse_args(argv=None) -> argparse.Namespace:
     )
     parser.add_argument(
         "overrides", nargs="*",
-        help="Dotted config overrides, e.g. optimizer.kwargs.lr=5e-4",
+        help="Dotted config overrides: k.path=v, or the reference README's "
+             "--k.path v form (readme.md:275)",
     )
-    return parser.parse_args(argv)
+    if argv is None:
+        argv = sys.argv[1:]
+    return parser.parse_args(_fold_dashed_overrides(argv))
+
+
+def _fold_dashed_overrides(argv):
+    """Rewrite ``--train.max_epochs 100`` / ``--a.b=c`` into ``a.b=c``
+    before argparse sees them — the dashed form is what the reference
+    README documents (readme.md:275). Dotted keys only; ``--config``/-h
+    pass through untouched."""
+    out, it = [], iter(argv)
+    for tok in it:
+        if tok.startswith("--") and "." in tok.split("=", 1)[0]:
+            if "=" in tok:
+                out.append(tok[2:])
+            else:
+                try:
+                    out.append(f"{tok[2:]}={next(it)}")
+                except StopIteration:
+                    out.append(tok)  # trailing key: let argparse report it
+        else:
+            out.append(tok)
+    return out
 
 
 def main(argv=None) -> None:
