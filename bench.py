@@ -303,9 +303,7 @@ def main(argv=None) -> int:
     img_per_sec = args.steps * global_batch / dt
     per_chip_rate = img_per_sec / n_chips
     tname = cfg.teacher.model_name.replace("dinov2_", "")
-    metric_name = ("distill images/sec/chip (vits14->stdc_2, dual scalekd)"
-                   if tname == "vits14" else
-                   f"distill images/sec/chip ({tname}->"
+    metric_name = (f"distill images/sec/chip ({tname}->"
                    f"{cfg.student.model_name}, dual scalekd)")
     result = {
         "metric": metric_name,
