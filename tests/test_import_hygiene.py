@@ -74,3 +74,34 @@ def test_graft_entry_dryrun_stays_on_cpu():
 # host — minutes, not seconds.
 test_graft_entry_dryrun_stays_on_cpu = pytest.mark.slow(
     test_graft_entry_dryrun_stays_on_cpu)
+
+
+def test_dryrun_falls_back_to_subprocess_when_backend_preexists():
+    """If the calling process already initialized an XLA client (the driver
+    compile-checks entry() on the TPU first), XLA_FLAGS can no longer grow
+    the CPU device count — jax 0.9 also dropped clear_backends, so the r4-
+    era 'clear and retry' silently did nothing. dryrun_multichip must detect
+    this and re-exec itself in a fresh interpreter."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "assert len(jax.devices()) == 1  # flags parsed: 1-device ambient\n"
+        "import __graft_entry__ as g\n"
+        "g.dryrun_multichip(4)\n"
+        "print('FALLBACK OK')\n" % repo
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)  # ambient process must NOT have the flag
+    proc = subprocess.run(
+        [sys.executable, "-c", script], env=env,
+        capture_output=True, text=True, timeout=1500,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "FALLBACK OK" in proc.stdout
+
+
+test_dryrun_falls_back_to_subprocess_when_backend_preexists = pytest.mark.slow(
+    test_dryrun_falls_back_to_subprocess_when_backend_preexists)
